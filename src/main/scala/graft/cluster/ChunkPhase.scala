@@ -1,0 +1,89 @@
+package graft.cluster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.lsh.Banding
+import graft.model.GraftConfig
+import graft.util.Hashing
+
+/** P3 + C3 — common-substring pre-clustering rounds (SURVEY.md §2.2 P3,
+  * §2.7 C3), transposed from the reference's `chunk_partitioning`
+  * (`/root/reference/lsh_based_clustering.py:441-519`).
+  *
+  * Per round the reference draws `multi_sigs` ∈ {2, 1} random anchors of
+  * length w; a row's signature is the substring of length w+t starting at
+  * the first anchor occurrence (position 0 when absent, `:455-462`), the
+  * per-row key being the SORTED tuple of its anchor signatures (`:499`).
+  * Equal keys become adjacency-chained candidate pairs.
+  *
+  * Spark realization: all rounds are fused — each round contributes one
+  * column expression `xxhash64(round, sorted anchor substrings)`, the array
+  * is posexploded and fed through the same salted chaining as LSH banding
+  * (monotone OR-construction, SURVEY.md §7.3). The reference de-escalates
+  * from 2 anchors to 1 longer anchor after bad rounds (`:476-489`); we run
+  * the first half of rounds with 2 anchors and the second half with 1 —
+  * the same coverage without driver feedback.
+  *
+  * We deliberately do NOT reproduce the reference's 3-reps-per-chunk
+  * sampling (C4, `:497-505`): it exists to bound per-round sort cost on one
+  * machine; bucket chaining already bounds pair count linearly, and skipping
+  * rows would only lose recall.
+  */
+object ChunkPhase {
+
+  private final val CHUNK_DOMAIN = 0x43484E4BL // "CHNK"
+  // Anchor alphabet: common English letters (the caption-domain analog of
+  // the reference's uniform draw over ACGT, `:491`).
+  private val ANCHOR_CHARS = "etaoinshrdlucmfwyp"
+
+  private def anchor(seed: Long, len: Int): String = {
+    val sb = new StringBuilder(len)
+    var i = 0
+    while (i < len) {
+      sb.append(ANCHOR_CHARS.charAt(Hashing.boundedInt(Hashing.hash2(seed, i.toLong), ANCHOR_CHARS.length)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Anchor-substring signature column for one anchor: the reference's
+    * `cmn_substr` (`:455-462`) — substring of length w+t from the first
+    * occurrence of the anchor (start of string when absent). */
+  private def cmnSubstr(captionCol: Column, a: String, w: Int, t: Int): Column = {
+    val start = greatest(instr(captionCol, lit(a)), lit(1))
+    captionCol.substr(start, lit(w + t))
+  }
+
+  /** Fused candidate pairs from `chunkRounds` common-substring rounds.
+    * `features` needs (row_id, caption); `n` is the (approximate) corpus
+    * size and `capLen` a typical caption length — the reference derives
+    * w and t from exactly these (`:468-469,484-485`). */
+  def candidatePairs(features: DataFrame, cfg: GraftConfig, n: Long, capLen: Int): DataFrame = {
+    val rounds = cfg.chunkRounds
+    val w2 = math.max(math.ceil(math.log(math.max(capLen, 4)) / math.log(4)).toInt - 1, 1)
+    val t2 = math.max(math.ceil(math.log(math.max(n, 4).toDouble) / math.log(4)).toInt - 1, w2)
+    val w1 = w2 + 1
+    val t1 = math.max(t2 + 1, w1)
+
+    val hashCols: Seq[Column] = (0 until rounds).map { r =>
+      val rs = Hashing.hash3(cfg.seed, CHUNK_DOMAIN, r.toLong)
+      if (r < (rounds + 1) / 2) {
+        // two anchors, sorted pair (the reference's sorted multi-sig, :499)
+        val a1 = anchor(Hashing.hash2(rs, 1L), w2)
+        val a2 = anchor(Hashing.hash2(rs, 2L), w2)
+        val s1 = cmnSubstr(col("caption"), a1, w2, t2)
+        val s2 = cmnSubstr(col("caption"), a2, w2, t2)
+        xxhash64(lit(r), array_join(array_sort(array(s1, s2)), ""))
+      } else {
+        val a1 = anchor(Hashing.hash2(rs, 1L), w1)
+        xxhash64(lit(r), cmnSubstr(col("caption"), a1, w1, t1))
+      }
+    }
+
+    val buckets = features.select(
+      col("row_id"),
+      posexplode(array(hashCols: _*)).as(Seq("band", "band_hash")))
+    Banding.chainPairs(buckets, cfg.saltShards)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C1 + C2 — union-find as distributed connected components
+  * (SURVEY.md §2.7).
+  *
+  * The reference's mutable `parent[]` with path compression
+  * (`/root/reference/lsh_based_clustering.py:210-229,399-418`) has no shared
+  * state on a cluster. We use the alternating large-star / small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) which converges in O(log² n) rounds even on path graphs
+  * — crucial because our bucket chaining (V4) emits chains whose diameter
+  * grows with cluster size, where naive min-propagation would need O(n)
+  * rounds.
+  *
+  * Each star step is a window-min + projection + distinct — NO
+  * `collect_list`, so a mega-node's neighborhood never has to fit in one
+  * task's memory. The surviving label is the component MINIMUM, matching the
+  * reference's min-center union convention (`:413`).
+  */
+object ConnectedComponents {
+
+  /** One large-star step: every node connects its larger neighbors to the
+    * neighborhood minimum. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val w = Window.partitionBy("u")
+    sym
+      .withColumn("mn", least(col("u"), min(col("v")).over(w)))
+      .where(col("v") > col("u"))
+      .select(col("v").as("a"), col("mn").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** One small-star step: orient edges to the smaller endpoint; every node
+    * connects its smaller neighbors (and itself) to the minimum. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+    val w = Window.partitionBy("u")
+    val withMin = oriented.withColumn("mn", min(col("v")).over(w))
+    val reattached = withMin
+      .where(col("v") =!= col("mn"))
+      .select(col("v").as("a"), col("mn").as("b"))
+    val self = withMin.select(col("u").as("a"), col("mn").as("b"))
+    reattached.unionAll(self)
+      .where(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Run to fixpoint. Input: edge DataFrame with long columns (a, b).
+    * Output: (row_id, cluster_id) for every node occurring in `edges`,
+    * cluster_id = component minimum.
+    */
+  def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var cur = edges
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var curSig = signature(cur)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == curSig
+      cur = next
+      curSig = nextSig
+      iter += 1
+    }
+
+    // Fixpoint is a star forest: non-roots appear once as `a` pointing at the
+    // root; roots appear only as `b`.
+    cur.select(col("a").as("row_id"), col("b").as("cluster_id"))
+      .unionAll(cur.select(col("b").as("row_id"), col("b").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Cheap convergence fingerprint: (count, xor of edge hashes) — xor is
+    * order-independent and cannot overflow under ANSI mode. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Full assignment over a row universe: nodes absent from `edges` are their
+    * own singleton cluster (the reference's initial `parent[i] = i`). */
+  def assign(rows: DataFrame, comps: DataFrame): DataFrame =
+    rows.select("row_id")
+      .join(comps, Seq("row_id"), "left")
+      .select(col("row_id"),
+        coalesce(col("cluster_id"), col("row_id")).as("cluster_id"))
+}

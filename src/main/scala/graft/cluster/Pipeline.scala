@@ -1,0 +1,145 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.feat.MinHash
+import graft.lsh.{Banding, VerifyPairs}
+import graft.model.GraftConfig
+
+/** End-to-end near-duplicate clustering pipeline (SURVEY.md §3, §7).
+  *
+  * Phase structure mirrors the reference's `run()`
+  * (`/root/reference/lsh_based_clustering.py:697-711`):
+  *   1. featurize       (pre_step :120-152)      — one mapPartitions pass
+  *   2. chunk phase     (chunk_partitioning :441) — fused substring rounds
+  *   3. LSH banding     (clustering_in_chunks :550) — fused L rounds, global
+  *   4. final clustering (final_clustering :567)  — macro rounds over the
+  *      focus set (singles + per-cluster score reps), fresh lane subsets
+  *      each macro round, until the work rate collapses (C5/C6).
+  *
+  * Where the reference loops hundreds of sequential micro-rounds, we fuse
+  * every feedback-free group of rounds into ONE Spark job (banding is a
+  * monotone OR-construction — SURVEY.md §7.3), keeping the driver loop only
+  * where the reference genuinely feeds back state (focus-set refresh).
+  */
+object Pipeline {
+
+  final case class PhaseStat(
+      phase: String,
+      macroRound: Int,
+      candidatePairs: Long,
+      verifiedPairs: Long,
+      clusters: Long,
+      singles: Long,
+      workRate: Double)
+
+  final case class Result(
+      assign: DataFrame, // (row_id, cluster_id)
+      scores: DataFrame, // (row_id, score) — A6
+      features: DataFrame,
+      stats: Seq[PhaseStat])
+
+  private def clusterStats(assign: DataFrame): (Long, Long) = {
+    val r = assign.groupBy("cluster_id").count()
+      .agg(count(lit(1)), sum(when(col("count") === 1, 1L).otherwise(0L))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** A6 — score accumulation: +1 per verified-pair endpoint (`:546-547`). */
+  private def endpointCounts(verified: DataFrame): DataFrame =
+    verified.select(explode(array(col("a"), col("b"))).as("row_id"))
+      .groupBy("row_id").agg(count(lit(1)).as("score"))
+
+  def run(spark: SparkSession, images: DataFrame, cfg: GraftConfig = GraftConfig()): Result = {
+    // 1. Featurize — bytes column pruned from the scan (SURVEY.md §4).
+    val features = MinHash.featurize(spark, images, cfg).toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = features.count()
+    val capLen = features.select(length(col("caption"))).head().getInt(0)
+    val rows = features.select("row_id")
+
+    val stats = scala.collection.mutable.ArrayBuffer.empty[PhaseStat]
+
+    // 2. Chunk phase: fused common-substring rounds, chunk thresholds (:522).
+    val chunkCand = ChunkPhase.candidatePairs(features, cfg, n, capLen)
+    val chunkVerified = VerifyPairs.verify(
+      chunkCand, features, cfg.sdHighChunk, cfg.sdLowChunk,
+      cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
+
+    // 3. Global LSH banding: fused L rounds, final thresholds (:569-570).
+    val bandCand = Banding.candidatePairs(features, cfg, macroRound = 0)
+    val bandVerified = VerifyPairs.verify(
+      bandCand, features, cfg.sdHigh, cfg.sdLow,
+      cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
+
+    val firstEdges = chunkVerified.unionAll(bandVerified)
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var assign = ConnectedComponents.assign(
+      rows, ConnectedComponents.components(spark, firstEdges))
+      .localCheckpoint(true)
+    var scores = endpointCounts(firstEdges).localCheckpoint(true)
+
+    {
+      val (clusters, singles) = clusterStats(assign)
+      stats += PhaseStat("chunk+band", 0, -1L, firstEdges.count(), clusters, singles, 1.0)
+    }
+    firstEdges.unpersist()
+
+    // 4. Final clustering: macro rounds over the focus set (C5/C6).
+    var macroItr = 1
+    var done = false
+    var prevSingles = stats.last.singles
+    while (!done && macroItr <= cfg.maxMacroRounds) {
+      if (prevSingles == 0) { done = true }
+      else {
+        // Focus = all singles + the rank-r rep of every multi cluster, the
+        // reference's cycling r (`:623-628`), r = (macro-1) % reps_per_cluster.
+        val r = (macroItr - 1) % cfg.repsPerCluster
+        val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        val withSz = assign.join(sizes, "cluster_id")
+        val singlesDf = withSz.where(col("sz") === 1).select("row_id")
+        val scored = withSz.where(col("sz") > 1)
+          .join(scores, Seq("row_id"), "left")
+          .na.fill(0L, Seq("score"))
+        val wRank = Window.partitionBy("cluster_id")
+          .orderBy(col("score").desc, col("row_id"))
+        val reps = scored.withColumn("rk", row_number().over(wRank))
+          .where(col("rk") === r + 1).select("row_id")
+        val focus = singlesDf.unionAll(reps)
+
+        val focusFeatures = features.join(focus, "row_id")
+        val cand = Banding.candidatePairs(focusFeatures, cfg, macroRound = macroItr)
+        val verified = VerifyPairs.verify(
+          cand, features, cfg.sdHigh, cfg.sdLow,
+          cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+
+        // Incremental union-find: current assignment edges ∪ new verified pairs.
+        val assignEdges = assign.where(col("row_id") =!= col("cluster_id"))
+          .select(col("cluster_id").as("a"), col("row_id").as("b"))
+        val comps = ConnectedComponents.components(spark, assignEdges.unionAll(verified))
+        assign = ConnectedComponents.assign(rows, comps).localCheckpoint(true)
+        scores = scores
+          .unionAll(endpointCounts(verified))
+          .groupBy("row_id").agg(sum("score").as("score"))
+          .localCheckpoint(true)
+
+        val nVerified = verified.count()
+        verified.unpersist()
+        val (clusters, singles) = clusterStats(assign)
+        val workRate =
+          if (prevSingles == 0) 0.0
+          else (prevSingles - singles).toDouble / prevSingles
+        stats += PhaseStat("final", macroItr, -1L, nVerified, clusters, singles, workRate)
+        done = workRate < cfg.minWorkRate
+        prevSingles = singles
+        macroItr += 1
+      }
+    }
+
+    Result(assign, scores, features, stats.toSeq)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.lsh
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.GraftConfig
+import graft.util.Hashing
+
+/** P4 + V4 + J1 — LSH banding and candidate-pair emission (SURVEY.md §2.2,
+  * §2.3, §2.4).
+  *
+  * The reference's per-round scheme (`/root/reference/lsh_based_clustering.py
+  * :531-548,633-647`): pick a random k-of-m lane subset, compact the chosen
+  * MinHash values to one integer, sort rows by it, and pair only ADJACENT
+  * equal signatures — a bucket of b rows yields exactly b-1 chained pairs,
+  * never C(b,2). Rounds are an OR-construction: more rounds only add pairs.
+  *
+  * Spark realization: banding is MONOTONE, so L rounds whose candidate
+  * generation doesn't depend on intermediate merges are FUSED into one job
+  * (SURVEY.md §7.3 — the main scale lever): L band hashes are computed as
+  * column expressions (whole-stage codegen), `posexplode`d, and shuffled
+  * once. Within a bucket, chaining is a window `lag` — with SALTING for
+  * skew-heavy mega-buckets (north rule): each bucket is split into
+  * `saltShards` shards keyed by a per-(row, band) hash; rows chain within
+  * their shard, and shard minima are chained across shards, preserving the
+  * exact "b rows → b-1 pairs" connectivity while capping any single window
+  * partition at ~bucket/shards rows.
+  */
+object Banding {
+
+  private final val BAND_DOMAIN = 0x42414E44L // "BAND"
+
+  /** Seeded k-of-m lane subsets for rounds [0, L) of a macro iteration. */
+  def lanes(cfg: GraftConfig, macroRound: Int): Array[Array[Int]] =
+    Array.tabulate(cfg.bandRounds) { r =>
+      Hashing.sampleIndices(
+        Hashing.hash3(cfg.seed, BAND_DOMAIN, macroRound.toLong * 100000L + r),
+        cfg.m, cfg.k)
+    }
+
+  /** Column of L band hashes for a `minhash` array column. */
+  def bandHashArray(minhashCol: Column, laneSets: Array[Array[Int]]): Column =
+    array(laneSets.zipWithIndex.map { case (ls, r) =>
+      xxhash64((lit(r) +: ls.map(i => minhashCol.getItem(i))): _*)
+    }: _*)
+
+  /** Exploded (row_id, band, band_hash) relation for the fused L rounds.
+    * `df` must have `row_id` and `minhash` columns. */
+  def explodeBands(df: DataFrame, laneSets: Array[Array[Int]]): DataFrame =
+    df.select(
+      col("row_id"),
+      posexplode(bandHashArray(col("minhash"), laneSets)).as(Seq("band", "band_hash")))
+
+  /** V4 — salted within-bucket chaining. Input must have columns
+    * (row_id, band, band_hash); output is normalized pairs (a < b), distinct.
+    *
+    * Connectivity invariant: for every (band, band_hash) bucket of b rows the
+    * emitted pairs form a spanning chain (b-1 pairs): rows chain within a
+    * salt shard, shard minima chain across shards. This is the reference's
+    * adjacency pairing (`:507-509,541-542,639-641`) made skew-proof.
+    */
+  def chainPairs(buckets: DataFrame, saltShards: Int): DataFrame = {
+    val salted = buckets.withColumn(
+      "salt", pmod(xxhash64(col("row_id"), col("band")), lit(saltShards)))
+
+    val wIntra = Window.partitionBy("band", "band_hash", "salt").orderBy("row_id")
+    val intra = salted
+      .withColumn("prev", lag("row_id", 1).over(wIntra))
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("x"), col("row_id").as("y"))
+
+    // Shard minima: groupBy on a superset of the window partition keys reuses
+    // the same hash partitioning — no extra wide shuffle.
+    val wInter = Window.partitionBy("band", "band_hash").orderBy("salt", "mn")
+    val inter = salted
+      .groupBy("band", "band_hash", "salt")
+      .agg(min("row_id").as("mn"))
+      .withColumn("prev", lag("mn", 1).over(wInter))
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("x"), col("mn").as("y"))
+
+    intra.unionAll(inter)
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Full fused banding pass: features (row_id, minhash) → candidate pairs
+    * (a, b), a < b, distinct across all L rounds. */
+  def candidatePairs(features: DataFrame, cfg: GraftConfig, macroRound: Int): DataFrame =
+    chainPairs(explodeBands(features, lanes(cfg, macroRound)), cfg.saltShards)
+}

@@ -1,0 +1,96 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Core row types of the engine (SURVEY.md §1.2).
+  *
+  * The input table shape is fixed by the north rule (BASELINE.json
+  * `input_hint`): an Iceberg-style table of image + caption pairs.
+  */
+final case class ImageRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String, // "png" | "jpg"
+    caption: String,
+    phash: Long
+)
+
+/** Input row + the planted ground truth; the pipeline never sees
+  * `true_cluster_id` (it is metric-only, mirroring the reference where truth
+  * structures exist only for accuracy computation,
+  * `/root/reference/lsh_based_clustering.py:157-158`). */
+final case class GenRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    true_cluster_id: Long,
+    part_id: Int
+)
+
+/** Per-row derived features (SURVEY.md §2.2 P1/P2).
+  * `shingles` carries caption q-grams AND pHash bit n-grams (domain-tagged,
+  * duplicates preserved — Sorensen-Dice divides by list lengths, reference
+  * `lsh_based_clustering.py:242`). */
+final case class FeatureRow(
+    row_id: Long,
+    caption: String,
+    shingles: Array[Long],
+    minhash: Array[Long], // length m
+    simhash: Long,
+    phash: Long
+)
+
+final case class Assignment(row_id: Long, cluster_id: Long)
+
+final case class CandidatePair(a: Long, b: Long) // normalized a < b
+
+object Schemas {
+  /** The north-rule input schema (BASELINE.json input_hint). */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("image_id", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
+    StructField("caption", StringType, nullable = false),
+    StructField("phash", LongType, nullable = false)
+  ))
+
+  val truthSchema: StructType = StructType(Seq(
+    StructField("row_id", LongType, nullable = false),
+    StructField("image_id", StringType, nullable = false),
+    StructField("true_cluster_id", LongType, nullable = false)
+  ))
+}
+
+/** Pipeline hyper-parameters, defaults mirroring the reference
+  * (`/root/reference/lsh_based_clustering.py:64` — q=6, k=3, m=40, L=32,
+  * distance_threshold=12; thresholds at `:522`, `:569-570`; reps at `:110`).
+  */
+final case class GraftConfig(
+    q: Int = 6,
+    k: Int = 3,
+    m: Int = 40,
+    bandRounds: Int = 32,          // L
+    distanceThreshold: Int = 12,
+    sdHighChunk: Double = 0.32,    // :522
+    sdLowChunk: Double = 0.28,
+    sdHigh: Double = 0.25,         // :569
+    sdLow: Double = 0.22,          // :570
+    repsPerCluster: Int = 5,       // :110
+    repsPerChunk: Int = 3,         // :110
+    hammingThreshold: Int = 16,    // graft: phash bit distance confirm (AND-side)
+    minLcs: Int = 16,              // graft: suffix-array exact-match confirm
+    maxShardSize: Int = 4096,      // salting: window shard cap for mega-buckets
+    saltShards: Int = 16,          // fixed salt fan-out inside hot buckets
+    chunkRounds: Int = 8,          // fused common-substring rounds (ref: ≤64 adaptive)
+    maxMacroRounds: Int = 8,       // final-clustering macro iterations (fused L each)
+    minWorkRate: Double = 0.005,   // :571 low_work_rate analog — stop when below
+    seed: Long = 42L
+)

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cluster.{ConnectedComponents, Pipeline}
+import graft.eval.Metrics
+import graft.gen.SyntheticCorpus
+import graft.lsh.Banding
+import graft.model.GraftConfig
+
+/** In-memory union-find oracle for the CC spec (the reference's
+  * parent-array semantics, lsh_based_clustering.py:210-229,399-418). */
+object UnionFindOracle {
+  def components(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (pa, pb) = (find(a), find(b))
+      if (pa != pb) {
+        val center = math.min(pa, pb); val merged = math.max(pa, pb)
+        parent(merged) = center // min-center convention (:413)
+      }
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+}
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CC matches union-find oracle on random graphs incl. long chains") {
+    val rnd = new java.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 200 + trial * 100
+      val nodes = (0 until n).map(i => Hashing.stable(i)).distinct
+      // random edges + one long chain (the V4 adjacency pattern)
+      val rand = (0 until n / 2).map { _ =>
+        (nodes(rnd.nextInt(nodes.length)), nodes(rnd.nextInt(nodes.length)))
+      }.filter(e => e._1 != e._2)
+      val chain = nodes.take(60).sliding(2).map(s => (s(0), s(1))).toSeq
+      val edges = rand ++ chain
+      val oracle = UnionFindOracle.components(nodes, edges)
+
+      val edgesDf = edges.toDF("a", "b")
+      val nodesDf = nodes.toDF("row_id")
+      val got = ConnectedComponents
+        .assign(nodesDf, ConnectedComponents.components(spark, edgesDf))
+        .as[(Long, Long)].collect().toMap
+      assert(got == oracle, s"trial $trial mismatch")
+    }
+  }
+
+  private object Hashing {
+    def stable(i: Int): Long = graft.util.Hashing.mix64(i.toLong)
+  }
+}
+
+class BandingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("V4 chaining: a bucket of b rows emits a spanning chain of b-1 pairs") {
+    // 3 buckets: sizes 1, 5, 40 — the size-40 one spreads over all salt shards
+    val rows =
+      (0 until 1).map(i => (100L + i, 0, 111L)) ++
+      (0 until 5).map(i => (200L + i, 0, 222L)) ++
+      (0 until 40).map(i => (300L + i, 0, 333L))
+    val buckets = rows.toDF("row_id", "band", "band_hash")
+    val pairs = Banding.chainPairs(buckets, saltShards = 16)
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs.size == 0 + 4 + 39, s"got ${pairs.size} pairs")
+    // connectivity: pairs within each bucket must span the bucket
+    def connected(ids: Seq[Long]): Boolean = {
+      val cc = UnionFindOracle.components(ids, pairs.filter(p => ids.contains(p._1)))
+      cc.values.toSet.size == 1
+    }
+    assert(connected((0 until 5).map(200L + _)))
+    assert(connected((0 until 40).map(300L + _)))
+    // no cross-bucket pairs
+    assert(pairs.forall { case (a, b) => a / 100 == b / 100 })
+  }
+
+  test("band lanes are deterministic and differ across rounds") {
+    val cfg = GraftConfig()
+    val l1 = Banding.lanes(cfg, 0)
+    val l2 = Banding.lanes(cfg, 0)
+    assert(l1.map(_.toSeq).toSeq == l2.map(_.toSeq).toSeq)
+    assert(l1.length == cfg.bandRounds)
+    assert(l1.map(_.toSeq).distinct.length > cfg.bandRounds / 2)
+  }
+}
+
+class CorpusSpec extends SparkSpec {
+
+  test("payload fidelity: PNG exact, JPEG PSNR >= 40 dB; phash tight in-group") {
+    val cfg = SyntheticCorpus.GenConfig(groups = 30, seed = 42L)
+    val rows = SyntheticCorpus.generate(spark, cfg).collect()
+    assert(rows.length > 30)
+    // decode every payload and compare against the regenerated source pixels
+    rows.foreach { r =>
+      val g = r.true_cluster_id
+      val gseed = graft.util.Hashing.hash2(cfg.seed, g)
+      val c = r.image_id.split("-").last.toInt
+      val cseed = graft.util.Hashing.hash3(gseed, 5L, c.toLong)
+      val base = SyntheticCorpus.groupPixels(gseed, r.w, r.h)
+      val src = SyntheticCorpus.perturbPixels(base, cseed, 4)
+      val img = SyntheticCorpus.decode(r.bytes)
+      val decoded = img.getRGB(0, 0, r.w, r.h, null, 0, r.w)
+        .map(_ & 0xFFFFFF)
+      if (r.fmt == "png") {
+        assert(decoded.toSeq == src.toSeq, s"${r.image_id}: png not lossless")
+      } else {
+        val p = SyntheticCorpus.psnr(src, decoded)
+        assert(p >= 40.0, s"${r.image_id}: jpeg PSNR $p < 40")
+      }
+    }
+    // in-group phash proximity vs cross-group distance
+    val byGroup = rows.groupBy(_.true_cluster_id)
+    val inGroup = byGroup.values.filter(_.length > 1).flatMap { g =>
+      g.combinations(2).map(p => java.lang.Long.bitCount(p(0).phash ^ p(1).phash))
+    }.toSeq
+    assert(inGroup.nonEmpty && inGroup.max <= 10, s"in-group hamming max ${inGroup.max}")
+  }
+
+  test("captions: copies stay within edit budget; generation deterministic") {
+    val cfg = SyntheticCorpus.GenConfig(groups = 20, seed = 42L)
+    val a = SyntheticCorpus.generate(spark, cfg).collect().sortBy(_.image_id)
+    val b = SyntheticCorpus.generate(spark, cfg).collect().sortBy(_.image_id)
+    assert(a.map(_.caption).toSeq == b.map(_.caption).toSeq)
+    assert(a.map(_.phash).toSeq == b.map(_.phash).toSeq)
+    assert(a.map(r => java.util.Arrays.hashCode(r.bytes)).toSeq ==
+      b.map(r => java.util.Arrays.hashCode(r.bytes)).toSeq)
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+
+  test("e2e: dup-pair recall >= 0.99 and precision >= 0.99 at reference config") {
+    val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(groups = 150)).cache()
+    val images = SyntheticCorpus.imagesOf(gen)
+    val truth = SyntheticCorpus.truthOf(gen)
+    val res = Pipeline.run(spark, images, GraftConfig(seed = 7L))
+    val rep = Metrics.evaluate(spark, res.assign, truth)
+    assert(rep.dupPairRecall >= 0.99, s"recall ${rep.dupPairRecall}")
+    assert(rep.dupPairPrecision >= 0.99, s"precision ${rep.dupPairPrecision}")
+    assert(rep.falsePositives == 0, s"FP ${rep.falsePositives}")
+    assert(rep.gammaAccuracy(0.99) >= 0.95)
+    gen.unpersist()
+  }
+
+  test("permutation invariance: repartitioned input yields the same clustering") {
+    val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(groups = 60)).cache()
+    val images = SyntheticCorpus.imagesOf(gen)
+    val cfg = GraftConfig(seed = 7L)
+    def partitionOf(img: org.apache.spark.sql.DataFrame): Set[Set[Long]] = {
+      import spark.implicits._
+      Pipeline.run(spark, img, cfg).assign.as[(Long, Long)].collect()
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    }
+    val p1 = partitionOf(images)
+    val p2 = partitionOf(images.repartition(17, col("caption")))
+    assert(p1 == p2, "clustering changed under repartitioning")
+    gen.unpersist()
+  }
+}
