@@ -1,0 +1,113 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cluster.ConnectedComponents
+import graft.feat.MinHash
+import graft.lsh.Banding
+import graft.model.GraftConfig
+import graft.util.Hashing
+
+/** Deduplication operators over a text `documents(doc_id, text, ...)` table
+  * — the training-data-pipeline counterparts of the image pipeline's stages,
+  * reusing the same banding / CC machinery.
+  */
+object DocDedup {
+
+  /** Exact dedup: hash-groupBy on a key column; canonical = min doc_id.
+    * One shuffle on the hash key; group sizes exposed for audit. */
+  def exact(docs: DataFrame, keyCol: org.apache.spark.sql.Column): DataFrame = {
+    val keyed = docs.select(col("doc_id"), keyCol.as("k"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    keyed.select(
+      col("doc_id"),
+      min(col("doc_id")).over(w).as("canonical_id"),
+      count(lit(1)).over(w).as("group_size"))
+  }
+
+  /** Character q-gram shingles of a text column, hashed to Long. */
+  def shingleDocs(spark: SparkSession, docs: DataFrame, q: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, graft.feat.Shingler.captionShingles(t, q))
+      }).toDF("row_id", "shingles")
+  }
+
+  /** MinHash + LSH dedup: shingle → MinHash in mapPartitions → fused banding
+    * → exact-Jaccard verification on candidates → connected components.
+    * Same scheme as the image pipeline, verification on raw Jaccard. */
+  def minhashLsh(spark: SparkSession, docs: DataFrame, cfg: GraftConfig,
+                 jaccardThreshold: Double): DataFrame = {
+    import spark.implicits._
+    val seeds = MinHash.laneSeeds(cfg)
+    val q = cfg.q
+    val feats = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val sh = graft.feat.Shingler.captionShingles(t, q)
+        (id, sh, MinHash.signature(sh, seeds))
+      }).toDF("row_id", "shingles", "minhash")
+      .persist()
+
+    val cand = Banding.candidatePairs(feats, cfg, macroRound = 0)
+    val fa = feats.select(col("row_id").as("a"), col("shingles").as("sh_a"))
+    val fb = feats.select(col("row_id").as("b"), col("shingles").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(array_distinct(col("sh_a"))) + size(array_distinct(col("sh_b")))).cast("double") - inter
+    val verified = cand.join(fa, "a").join(fb, "b")
+      .where(inter / uni >= jaccardThreshold)
+      .select("a", "b")
+    val assign = ConnectedComponents.assign(
+      feats.select("row_id"), ConnectedComponents.components(spark, verified))
+    feats.unpersist()
+    assign.select(col("row_id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** SimHash near-dup buckets: 64-bit simhash over word tokens; rows sharing
+    * any of 4 16-bit bands are candidates, confirmed by full-hash hamming.
+    * (Standard simhash blocking: a pair within hamming ≤ 3 of 64 bits shares
+    * at least one of 4 bands by pigeonhole.) */
+  def simhash(spark: SparkSession, docs: DataFrame, hammingMax: Int): DataFrame = {
+    import spark.implicits._
+    val sims = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val grams = t.split(' ').map(Hashing.stringHash)
+        (id, MinHash.simhash(grams))
+      }).toDF("row_id", "simhash").persist()
+
+    val bands = sims.select(col("row_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftRightUnsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "band_hash")))
+    val a = bands.select(col("band"), col("band_hash"),
+      col("row_id").as("a"), col("simhash").as("sim_a"))
+    val b = bands.select(col("band"), col("band_hash"),
+      col("row_id").as("b"), col("simhash").as("sim_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
+      .where(col("a") < col("b"))
+      .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= hammingMax)
+      .select("a", "b").distinct()
+    val spark2 = spark
+    val assign = ConnectedComponents.assign(
+      sims.select("row_id"), ConnectedComponents.components(spark2, pairs))
+    sims.unpersist()
+    assign.select(col("row_id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** N-gram Jaccard on an explicit pair list — the exact verification used by
+    * the LSH paths, exposed standalone (list semantics in the denominator
+    * like the reference's Dice, set semantics for Jaccard proper). */
+  def ngramJaccardPairs(docs: DataFrame, pairs: DataFrame, q: Int): DataFrame = {
+    val grams = (t: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(1), length(t) - (q - 1)), i => t.substr(i, lit(q)))
+    val fa = docs.select(col("doc_id").as("a"), grams(col("text")).as("g_a"))
+    val fb = docs.select(col("doc_id").as("b"), grams(col("text")).as("g_b"))
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+    val uni = (size(array_distinct(col("g_a"))) + size(array_distinct(col("g_b")))).cast("double") - inter
+    pairs.join(fa, "a").join(fb, "b")
+      .select(col("a"), col("b"),
+        round(inter / uni, 6).as("jaccard"),
+        round(lit(2.0) * inter / (size(col("g_a")) + size(col("g_b"))), 6).as("dice"))
+  }
+}
