@@ -1,24 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.cluster.Pipeline
+import graft.eval.Metrics
+import graft.gen.SyntheticCorpus
+import graft.model.GraftConfig
+
+/** Driver benchmark contract: run headline queries on SPARK_GRAFT_SF_DIR,
+  * print ONE JSON line {"metric","value","unit","queries",...}.
+  *
+  * Also times the flagship image-dedup pipeline on a deterministic synthetic
+  * corpus (SPARK_GRAFT_BENCH_GROUPS groups, default 1500 ≈ 14k rows) and
+  * reports images/sec — the throughput axis of the north rule. Scaling
+  * evidence across parallelism levels comes from graft.ScalingBench.
+  */
 object Bench {
+
+  /** Representative operator subset — every family, bounded total runtime. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "a5_topk_per_group", "a7_majority_vote",
+    "v4_adjacency_pairs", "v1_dice_pairs", "cc_min_label",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "text_fingerprint", "text_langid",
+    "sim_cosine_topk", "sim_ann_lsh",
+    "m6_dup_pair_stats", "mm_payload_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchGroups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "1500").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Flagship pipeline throughput (images/sec) on the synthetic corpus.
+    val gen = SyntheticCorpus.generate(spark,
+      SyntheticCorpus.GenConfig(groups = benchGroups)).cache()
+    val images = SyntheticCorpus.imagesOf(gen)
+    val nRows = images.count() // corpus generation (imageio) excluded from timing
+    val t0 = System.nanoTime()
+    val res = Pipeline.run(spark, images, GraftConfig(seed = 7L))
+    res.assign.count()
+    val pipelineSec = (System.nanoTime() - t0) / 1e9
+    val rep = Metrics.evaluate(spark, res.assign, SyntheticCorpus.truthOf(gen))
+    results("pipeline_images_e2e") = pipelineSec
+    gen.unpersist()
+
+    val total = results.values.sum
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$nRows,"pipeline_images_per_sec":${nRows / pipelineSec}%.1f,"pipeline_recall":${rep.dupPairRecall}%.6f,"pipeline_precision":${rep.dupPairPrecision}%.6f,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,114 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.feat.MinHash
+import graft.io.TableIO
+import graft.model.GraftConfig
+
+/** Resumable pipeline: the same phases as [[Pipeline]], with durable
+  * checkpoints and a per-partition ledger (north rule; SURVEY.md §7.4.5).
+  *
+  *   workDir/
+  *     features/part_id=k/   one parquet per INPUT partition (stage 1)
+  *     state/round=r/assign, state/round=r/scores   (stages 2-4)
+  *     _ledger/features_k.json, _ledger/round_r.json
+  *
+  * A kill at any point resumes by replaying the ledger: completed feature
+  * partitions are skipped (per-partition lineage + metrics in their ledger
+  * entries), and clustering restarts from the last completed round's state.
+  * Ledger entries are written AFTER their artifact (write-ahead artifact,
+  * commit-last), so a torn run can only re-do work, never skip it.
+  */
+object CheckpointedPipeline {
+
+  final case class ResumeReport(
+      featuresComputed: Seq[Int], featuresSkipped: Seq[Int],
+      roundsComputed: Seq[Int], roundsSkipped: Seq[Int])
+
+  def run(spark: SparkSession, imagesPath: String, workDir: String,
+          cfg: GraftConfig = GraftConfig()): (Pipeline.Result, ResumeReport) = {
+    val done = TableIO.completedKeys(workDir)
+    val parts = TableIO.listPartitions(spark, imagesPath)
+
+    // ---- Stage 1: featurize per input partition (resumable unit). ----
+    val (fDone, fTodo) = parts.partition(p => done.contains(s"features_$p"))
+    fTodo.foreach { p =>
+      val slice = spark.read.parquet(imagesPath).where(col("part_id") === p)
+      val feats = MinHash.featurize(spark, slice, cfg)
+      feats.write.mode("overwrite").parquet(s"$workDir/features/part_id=$p")
+      val rows = spark.read.parquet(s"$workDir/features/part_id=$p").count()
+      TableIO.writeEntry(workDir, TableIO.LedgerEntry(
+        s"features_$p", "features", p, rows,
+        Map("config_seed" -> cfg.seed.toString, "m" -> cfg.m.toString)))
+    }
+    val features = spark.read.parquet(s"$workDir/features")
+      .drop("part_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = features.count()
+    val capLen = features.select(length(col("caption"))).head().getInt(0)
+
+    // ---- Stage 2-4: clustering rounds (round = resumable unit). ----
+    val stats = scala.collection.mutable.ArrayBuffer.empty[Pipeline.PhaseStat]
+    val roundsComputed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val roundsSkipped = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    def saveState(st: Pipeline.State, r: Int, stat: Pipeline.PhaseStat): Unit = {
+      st.assign.write.mode("overwrite").parquet(s"$workDir/state/round=$r/assign")
+      st.scores.write.mode("overwrite").parquet(s"$workDir/state/round=$r/scores")
+      TableIO.writeEntry(workDir, TableIO.LedgerEntry(
+        s"round_$r", "round", -1, stat.clusters,
+        Map("singles" -> stat.singles.toString,
+            "verified" -> stat.verifiedPairs.toString,
+            "workRate" -> stat.workRate.toString)))
+    }
+    def loadState(r: Int): Pipeline.State = Pipeline.State(
+      spark.read.parquet(s"$workDir/state/round=$r/assign"),
+      spark.read.parquet(s"$workDir/state/round=$r/scores"))
+    def loadStat(r: Int): (Long, Double) = {
+      // singles + workRate from the ledger (needed to resume loop control)
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        TableIO.ledgerDir(workDir).resolve(s"round_$r.json")))
+      val singles = "\"singles\": \"(\\d+)\"".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+      val wr = "\"workRate\": \"([0-9.Ee+-]+)\"".r.findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(1.0)
+      (singles, wr)
+    }
+
+    val doneRounds = TableIO.completedKeys(workDir)
+      .filter(_.startsWith("round_")).map(_.stripPrefix("round_").toInt)
+    val lastDone = if (doneRounds.isEmpty) -1 else doneRounds.max
+
+    var st: Pipeline.State = null
+    var prevSingles = 0L
+    var prevWorkRate = 1.0
+    if (lastDone < 0) {
+      val (s0, stat0) = Pipeline.initialState(spark, features, cfg, n, capLen)
+      st = s0; stats += stat0
+      saveState(s0, 0, stat0)
+      roundsComputed += 0
+      prevSingles = stat0.singles
+    } else {
+      st = loadState(lastDone)
+      val (singles, wr) = loadStat(lastDone)
+      prevSingles = singles
+      prevWorkRate = wr
+      roundsSkipped ++= (0 to lastDone)
+    }
+
+    var macroItr = math.max(lastDone, 0) + 1
+    var done2 = (lastDone >= 1 && prevWorkRate < cfg.minWorkRate) || prevSingles == 0
+    while (!done2 && macroItr <= cfg.maxMacroRounds) {
+      val (st2, stat) = Pipeline.macroStep(spark, features, st, cfg, macroItr, prevSingles)
+      st = st2; stats += stat
+      saveState(st2, macroItr, stat)
+      roundsComputed += macroItr
+      done2 = stat.workRate < cfg.minWorkRate || stat.singles == 0
+      prevSingles = stat.singles
+      macroItr += 1
+    }
+
+    (Pipeline.Result(st.assign, st.scores, features, stats.toSeq),
+      ResumeReport(fTodo, fDone, roundsComputed.toSeq, roundsSkipped.toSeq.sorted))
+  }
+}

@@ -53,15 +53,13 @@ object Pipeline {
     verified.select(explode(array(col("a"), col("b"))).as("row_id"))
       .groupBy("row_id").agg(count(lit(1)).as("score"))
 
-  def run(spark: SparkSession, images: DataFrame, cfg: GraftConfig = GraftConfig()): Result = {
-    // 1. Featurize — bytes column pruned from the scan (SURVEY.md §4).
-    val features = MinHash.featurize(spark, images, cfg).toDF()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = features.count()
-    val capLen = features.select(length(col("caption"))).head().getInt(0)
-    val rows = features.select("row_id")
+  /** Mutable-between-rounds pipeline state (assign + scores). */
+  final case class State(assign: DataFrame, scores: DataFrame)
 
-    val stats = scala.collection.mutable.ArrayBuffer.empty[PhaseStat]
+  /** Phases 2+3: chunk rounds + global banding + first CC pass. */
+  def initialState(spark: SparkSession, features: DataFrame, cfg: GraftConfig,
+                   n: Long, capLen: Int): (State, PhaseStat) = {
+    val rows = features.select("row_id")
 
     // 2. Chunk phase: fused common-substring rounds, chunk thresholds (:522).
     val chunkCand = ChunkPhase.candidatePairs(features, cfg, n, capLen)
@@ -77,16 +75,74 @@ object Pipeline {
 
     val firstEdges = chunkVerified.unionAll(bandVerified)
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var assign = ConnectedComponents.assign(
+    val assign = ConnectedComponents.assign(
       rows, ConnectedComponents.components(spark, firstEdges))
       .localCheckpoint(true)
-    var scores = endpointCounts(firstEdges).localCheckpoint(true)
-
-    {
-      val (clusters, singles) = clusterStats(assign)
-      stats += PhaseStat("chunk+band", 0, -1L, firstEdges.count(), clusters, singles, 1.0)
-    }
+    val scores = endpointCounts(firstEdges).localCheckpoint(true)
+    val nVerified = firstEdges.count()
     firstEdges.unpersist()
+    val (clusters, singles) = clusterStats(assign)
+    (State(assign, scores),
+      PhaseStat("chunk+band", 0, -1L, nVerified, clusters, singles, 1.0))
+  }
+
+  /** Phase 4, one macro round: focus set -> fused banding -> verify ->
+    * incremental CC. Returns the new state and this round's stat. */
+  def macroStep(spark: SparkSession, features: DataFrame, st: State,
+                cfg: GraftConfig, macroItr: Int, prevSingles: Long): (State, PhaseStat) = {
+    val rows = features.select("row_id")
+    // Focus = all singles + the rank-r rep of every multi cluster, the
+    // reference's cycling r (`:623-628`), r = (macro-1) % reps_per_cluster.
+    val r = (macroItr - 1) % cfg.repsPerCluster
+    val sizes = st.assign.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val withSz = st.assign.join(sizes, "cluster_id")
+    val singlesDf = withSz.where(col("sz") === 1).select("row_id")
+    val scored = withSz.where(col("sz") > 1)
+      .join(st.scores, Seq("row_id"), "left")
+      .na.fill(0L, Seq("score"))
+    val wRank = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("row_id"))
+    val reps = scored.withColumn("rk", row_number().over(wRank))
+      .where(col("rk") === r + 1).select("row_id")
+    val focus = singlesDf.unionAll(reps)
+
+    val focusFeatures = features.join(focus, "row_id")
+    val cand = Banding.candidatePairs(focusFeatures, cfg, macroRound = macroItr)
+    val verified = VerifyPairs.verify(
+      cand, features, cfg.sdHigh, cfg.sdLow,
+      cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Incremental union-find: current assignment edges + new verified pairs.
+    val assignEdges = st.assign.where(col("row_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("a"), col("row_id").as("b"))
+    val comps = ConnectedComponents.components(spark, assignEdges.unionAll(verified))
+    val assign = ConnectedComponents.assign(rows, comps).localCheckpoint(true)
+    val scores = st.scores
+      .unionAll(endpointCounts(verified))
+      .groupBy("row_id").agg(sum("score").as("score"))
+      .localCheckpoint(true)
+
+    val nVerified = verified.count()
+    verified.unpersist()
+    val (clusters, singles) = clusterStats(assign)
+    val workRate =
+      if (prevSingles == 0) 0.0
+      else (prevSingles - singles).toDouble / prevSingles
+    (State(assign, scores),
+      PhaseStat("final", macroItr, -1L, nVerified, clusters, singles, workRate))
+  }
+
+  def run(spark: SparkSession, images: DataFrame, cfg: GraftConfig = GraftConfig()): Result = {
+    // 1. Featurize -- bytes column pruned from the scan (SURVEY.md par.4).
+    val features = MinHash.featurize(spark, images, cfg).toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = features.count()
+    val capLen = features.select(length(col("caption"))).head().getInt(0)
+
+    val stats = scala.collection.mutable.ArrayBuffer.empty[PhaseStat]
+    var (st, stat0) = initialState(spark, features, cfg, n, capLen)
+    stats += stat0
 
     // 4. Final clustering: macro rounds over the focus set (C5/C6).
     var macroItr = 1
@@ -95,51 +151,15 @@ object Pipeline {
     while (!done && macroItr <= cfg.maxMacroRounds) {
       if (prevSingles == 0) { done = true }
       else {
-        // Focus = all singles + the rank-r rep of every multi cluster, the
-        // reference's cycling r (`:623-628`), r = (macro-1) % reps_per_cluster.
-        val r = (macroItr - 1) % cfg.repsPerCluster
-        val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-        val withSz = assign.join(sizes, "cluster_id")
-        val singlesDf = withSz.where(col("sz") === 1).select("row_id")
-        val scored = withSz.where(col("sz") > 1)
-          .join(scores, Seq("row_id"), "left")
-          .na.fill(0L, Seq("score"))
-        val wRank = Window.partitionBy("cluster_id")
-          .orderBy(col("score").desc, col("row_id"))
-        val reps = scored.withColumn("rk", row_number().over(wRank))
-          .where(col("rk") === r + 1).select("row_id")
-        val focus = singlesDf.unionAll(reps)
-
-        val focusFeatures = features.join(focus, "row_id")
-        val cand = Banding.candidatePairs(focusFeatures, cfg, macroRound = macroItr)
-        val verified = VerifyPairs.verify(
-          cand, features, cfg.sdHigh, cfg.sdLow,
-          cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-
-        // Incremental union-find: current assignment edges ∪ new verified pairs.
-        val assignEdges = assign.where(col("row_id") =!= col("cluster_id"))
-          .select(col("cluster_id").as("a"), col("row_id").as("b"))
-        val comps = ConnectedComponents.components(spark, assignEdges.unionAll(verified))
-        assign = ConnectedComponents.assign(rows, comps).localCheckpoint(true)
-        scores = scores
-          .unionAll(endpointCounts(verified))
-          .groupBy("row_id").agg(sum("score").as("score"))
-          .localCheckpoint(true)
-
-        val nVerified = verified.count()
-        verified.unpersist()
-        val (clusters, singles) = clusterStats(assign)
-        val workRate =
-          if (prevSingles == 0) 0.0
-          else (prevSingles - singles).toDouble / prevSingles
-        stats += PhaseStat("final", macroItr, -1L, nVerified, clusters, singles, workRate)
-        done = workRate < cfg.minWorkRate
-        prevSingles = singles
+        val (st2, stat) = macroStep(spark, features, st, cfg, macroItr, prevSingles)
+        st = st2
+        stats += stat
+        done = stat.workRate < cfg.minWorkRate
+        prevSingles = stat.singles
         macroItr += 1
       }
     }
 
-    Result(assign, scores, features, stats.toSeq)
+    Result(st.assign, st.scores, features, stats.toSeq)
   }
 }

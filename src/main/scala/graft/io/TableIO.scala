@@ -1,0 +1,107 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1/S2 + checkpoint ledger — Iceberg-emulating table layout
+  * (SURVEY.md §7.4.5). No Iceberg runtime jar ships offline, so the table is
+  * directory-partitioned parquet (`part_id=k/`) with an explicit `_ledger/`
+  * of atomically-written (temp+rename) JSON entries carrying per-partition
+  * lineage and metrics — exactly the north rule's "checkpoint cluster state
+  * per Iceberg partition so a killed job resumes with per-partition lineage
+  * and metrics intact".
+  */
+object TableIO {
+
+  final case class LedgerEntry(key: String, stage: String, partition: Int,
+                               rows: Long, metrics: Map[String, String])
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def ledgerDir(base: String): Path = Paths.get(base, "_ledger")
+
+  /** Atomic single-entry write: temp file + rename, so a kill mid-write can
+    * never leave a half-entry (resume treats missing = not done). */
+  def writeEntry(base: String, e: LedgerEntry): Unit = {
+    val dir = ledgerDir(base)
+    Files.createDirectories(dir)
+    val json =
+      s"""{"key": ${q(e.key)}, "stage": ${q(e.stage)}, "partition": ${e.partition}, "rows": ${e.rows}, "metrics": {""" +
+        e.metrics.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ") + "}}"
+    val tmp = dir.resolve(s".${e.key}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"${e.key}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def completedKeys(base: String): Set[String] = {
+    val dir = ledgerDir(base)
+    if (!Files.isDirectory(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json")).toSet
+  }
+
+  def dropEntry(base: String, key: String): Unit = {
+    val f = ledgerDir(base).resolve(s"$key.json")
+    Files.deleteIfExists(f)
+  }
+
+  /** Write the images table in the Iceberg-emulating layout. */
+  def writeImages(images: DataFrame, path: String, numParts: Int): Unit =
+    images
+      .withColumn("part_id", pmod(xxhash64(col("image_id")), lit(numParts)).cast("int"))
+      .write.mode("overwrite").partitionBy("part_id").parquet(path)
+
+  def readImages(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Distinct part_id values present in a partitioned table — from the
+    * directory listing (partition pruning metadata), not a data scan. */
+  def listPartitions(spark: SparkSession, path: String): Seq[Int] =
+    Files.list(Paths.get(path)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("part_id="))
+      .map(_.stripPrefix("part_id=").toInt)
+      .toSeq.sorted
+
+  /** S2 — evyat-style text export for parity fixtures
+    * (`/root/reference/lsh_based_clustering.py:677-695`): per cluster a
+    * majority-vote representative line, a separator, then sorted members. */
+  def exportEvyat(spark: SparkSession, assignWithKeys: DataFrame, outFile: String): Unit = {
+    // assignWithKeys: (cluster_id, member: String, rep_candidate: String)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("cnt").desc, col("rep_candidate"))
+    val majority = assignWithKeys.groupBy("cluster_id", "rep_candidate")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("cluster_id"), col("rep_candidate").as("rep"))
+    val lines = assignWithKeys.groupBy("cluster_id")
+      .agg(sort_array(collect_list(col("member"))).as("members"))
+      .join(majority, "cluster_id")
+      .orderBy("cluster_id")
+      .select(col("rep"), col("members"))
+      .collect()
+    val sb = new StringBuilder
+    lines.foreach { r =>
+      sb.append(r.getString(0)).append('\n')
+      sb.append("*****************************\n")
+      r.getSeq[String](1).foreach(m => sb.append(m).append('\n'))
+      sb.append("\n\n")
+    }
+    Files.createDirectories(Paths.get(outFile).getParent)
+    Files.write(Paths.get(outFile), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+}

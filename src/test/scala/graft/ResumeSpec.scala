@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.cluster.CheckpointedPipeline
+import graft.gen.SyntheticCorpus
+import graft.io.TableIO
+import graft.model.GraftConfig
+
+class ResumeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def partitionSets(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+    df.as[(Long, Long)].collect().groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+
+  test("kill+resume reproduces the identical clustering (per-partition ledger)") {
+    val base = Files.createTempDirectory("graft_resume").toString
+    val imagesPath = s"$base/images"
+    val workDir = s"$base/work"
+    val cfg = GraftConfig(seed = 7L)
+
+    val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(groups = 60)).cache()
+    TableIO.writeImages(SyntheticCorpus.imagesOf(gen), imagesPath, numParts = 4)
+    gen.unpersist()
+
+    // full run
+    val (res1, rep1) = CheckpointedPipeline.run(spark, imagesPath, workDir, cfg)
+    val golden = partitionSets(res1.assign.select("row_id", "cluster_id"))
+    assert(rep1.featuresSkipped.isEmpty && rep1.roundsSkipped.isEmpty)
+    assert(TableIO.completedKeys(workDir).count(_.startsWith("features_")) == 4)
+
+    // resume with everything complete: nothing recomputed
+    val (res2, rep2) = CheckpointedPipeline.run(spark, imagesPath, workDir, cfg)
+    assert(rep2.featuresComputed.isEmpty, s"recomputed ${rep2.featuresComputed}")
+    assert(rep2.roundsComputed.isEmpty, s"recomputed rounds ${rep2.roundsComputed}")
+    assert(partitionSets(res2.assign.select("row_id", "cluster_id")) == golden)
+
+    // simulate a kill after round 0: drop ledger entries for rounds >= 1
+    TableIO.completedKeys(workDir).filter(_.startsWith("round_"))
+      .map(_.stripPrefix("round_").toInt).filter(_ >= 1)
+      .foreach(r => TableIO.dropEntry(workDir, s"round_$r"))
+    val (res3, rep3) = CheckpointedPipeline.run(spark, imagesPath, workDir, cfg)
+    assert(rep3.featuresComputed.isEmpty)
+    assert(rep3.roundsSkipped == Seq(0), s"skipped ${rep3.roundsSkipped}")
+    assert(rep3.roundsComputed.nonEmpty)
+    assert(partitionSets(res3.assign.select("row_id", "cluster_id")) == golden)
+
+    // simulate a kill mid-featurize: drop one feature partition + all rounds
+    TableIO.dropEntry(workDir, "features_2")
+    TableIO.completedKeys(workDir).filter(_.startsWith("round_"))
+      .foreach(k => TableIO.dropEntry(workDir, k))
+    val (res4, rep4) = CheckpointedPipeline.run(spark, imagesPath, workDir, cfg)
+    assert(rep4.featuresComputed == Seq(2), s"computed ${rep4.featuresComputed}")
+    assert(rep4.featuresSkipped.toSet == Set(0, 1, 3))
+    assert(partitionSets(res4.assign.select("row_id", "cluster_id")) == golden)
+  }
+
+  test("ledger entries carry per-partition lineage metrics and survive rewrite") {
+    val base = Files.createTempDirectory("graft_ledger").toString
+    TableIO.writeEntry(base, TableIO.LedgerEntry(
+      "features_0", "features", 0, 123L, Map("m" -> "40", "config_seed" -> "7")))
+    TableIO.writeEntry(base, TableIO.LedgerEntry(
+      "features_0", "features", 0, 124L, Map("m" -> "40", "config_seed" -> "7")))
+    assert(TableIO.completedKeys(base) == Set("features_0"))
+    val txt = new String(Files.readAllBytes(
+      TableIO.ledgerDir(base).resolve("features_0.json")))
+    assert(txt.contains("\"rows\": 124"))
+    assert(txt.contains("\"config_seed\": \"7\""))
+  }
+
+  test("S2 evyat-style export writes majority rep + sorted members") {
+    val df = Seq(
+      (1L, "b-read", "orig1"), (1L, "a-read", "orig1"), (1L, "c-read", "orig2"),
+      (2L, "z-read", "orig3")
+    ).toDF("cluster_id", "member", "rep_candidate")
+    val out = Files.createTempDirectory("graft_evyat").resolve("out/evyat.txt").toString
+    TableIO.exportEvyat(spark, df, out)
+    val txt = new String(Files.readAllBytes(Paths.get(out)))
+    val expected =
+      "orig1\n*****************************\na-read\nb-read\nc-read\n\n\n" +
+      "orig3\n*****************************\nz-read\n\n\n"
+    assert(txt == expected)
+  }
+}
