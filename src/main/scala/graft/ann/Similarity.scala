@@ -48,10 +48,17 @@ object Similarity {
 
   /** LSH-bucketed ANN: sign-sketch each vector against `nPlanes` seeded
     * hyperplanes per table (L tables), candidates = same sketch in any
-    * table, then exact cosine + top-k on the candidate set only. */
+    * table, then exact cosine + top-k on the candidate set only.
+    *
+    * Parameter note: collision prob per table = (1 - theta/pi)^nPlanes, so
+    * nPlanes/tables must be tuned to the data's angular margin. The synthetic
+    * test embeddings have top-5 cosine ~ 0.3 (theta ~ 72 deg) -> short
+    * 4-bit sketches with many tables; real embedding corpora (neighbor
+    * cosine >= 0.8) support 12-16 planes with far fewer tables and much
+    * sparser buckets. */
   def lshTopK(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
               corpus: DataFrame, k: Int, dim: Int,
-              nPlanes: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+              nPlanes: Int = 4, tables: Int = 32, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val planes = (0 until tables).map(t => hyperplanes(Hashing.hash2(seed, t.toLong), nPlanes, dim)).toArray
 

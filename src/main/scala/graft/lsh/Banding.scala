@@ -64,18 +64,27 @@ object Banding {
     val salted = buckets.withColumn(
       "salt", pmod(xxhash64(col("row_id"), col("band")), lit(saltShards)))
 
+    // ONE window pass computes both the intra-shard chain (lag) and the
+    // shard-minimum marker (row_number == 1). Both output branches project
+    // from this single plan, so Catalyst's ReuseExchange materializes the
+    // wide (band, band_hash, salt) shuffle once — without it the explode +
+    // exchange ran twice (observed in explain(formatted)).
     val wIntra = Window.partitionBy("band", "band_hash", "salt").orderBy("row_id")
-    val intra = salted
-      .withColumn("prev", lag("row_id", 1).over(wIntra))
+    val windowed = salted
+      .select(col("band"), col("band_hash"), col("salt"), col("row_id"),
+        lag("row_id", 1).over(wIntra).as("prev"),
+        row_number().over(wIntra).as("rn"))
+
+    val intra = windowed
       .where(col("prev").isNotNull)
       .select(col("prev").as("x"), col("row_id").as("y"))
 
-    // Shard minima: groupBy on a superset of the window partition keys reuses
-    // the same hash partitioning — no extra wide shuffle.
+    // Shard minima (rn == 1) chained across shards of the same bucket —
+    // a SMALL second shuffle (≤ saltShards rows per bucket).
     val wInter = Window.partitionBy("band", "band_hash").orderBy("salt", "mn")
-    val inter = salted
-      .groupBy("band", "band_hash", "salt")
-      .agg(min("row_id").as("mn"))
+    val inter = windowed
+      .where(col("rn") === 1)
+      .select(col("band"), col("band_hash"), col("salt"), col("row_id").as("mn"))
       .withColumn("prev", lag("mn", 1).over(wInter))
       .where(col("prev").isNotNull)
       .select(col("prev").as("x"), col("mn").as("y"))
