@@ -39,16 +39,43 @@ object ScalingBench {
     s
   }
 
+  /** Stage-level profile: wall duration vs summed task time exposes whether
+    * a stage is barrier-bound (few/short tasks) or compute-bound. */
+  private final class StageProfiler extends org.apache.spark.scheduler.SparkListener {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int, Long)]
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val dur = (for { s <- i.submissionTime; e <- i.completionTime } yield e - s).getOrElse(-1L)
+      rows += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), dur,
+        i.numTasks, i.taskMetrics.executorRunTime))
+    }
+    def report(topN: Int = 25): Unit = {
+      System.err.println("[stages] top by wall duration:")
+      rows.sortBy(-_._3).take(topN).foreach { case (id, name, dur, nt, rt) =>
+        System.err.println(f"[stages] id=$id%4d wall=${dur / 1000.0}%7.1fs tasks=$nt%4d taskTimeSum=${rt / 1000.0}%8.1fs  $name")
+      }
+      val wall = rows.map(_._3).sum / 1000.0
+      val task = rows.map(_._5).sum / 1000.0
+      System.err.println(f"[stages] total stage-wall=$wall%.1fs total task-time=$task%.1fs stages=${rows.size}")
+    }
+  }
+
   private def timedRun(cpus: Int, imagesPath: String, warm: Boolean): (Long, Double) = {
     val spark = session(cpus)
+    val prof = new StageProfiler
+    if (sys.env.contains("SPARK_GRAFT_PROFILE")) spark.sparkContext.addSparkListener(prof)
     val images = spark.read.parquet(imagesPath)
     if (warm) { // tiny warm-up: JIT + codegen caches, not reported
-      Pipeline.run(spark, images.limit(2000), GraftConfig(seed = 7L)).assign.count()
+      Pipeline.run(spark, images.limit(5000), GraftConfig(seed = 7L)).assign.count()
     }
     val t0 = System.nanoTime()
     val res = Pipeline.run(spark, images, GraftConfig(seed = 7L))
     val n = res.assign.count()
     val sec = (System.nanoTime() - t0) / 1e9
+    res.stats.foreach(s => System.err.println(
+      f"[phase] ${s.phase} round=${s.macroRound} sec=${s.seconds}%.2f verified=${s.verifiedPairs} singles=${s.singles} workRate=${s.workRate}%.4f"))
+    if (sys.env.contains("SPARK_GRAFT_PROFILE")) prof.report()
     spark.stop()
     (n, sec)
   }
@@ -59,6 +86,29 @@ object ScalingBench {
     val groups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "8000").toInt
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PATH",
       s"/tmp/graft_scaling_corpus_g$groups")
+
+    // `single <cpus>`: one timed measurement in THIS (fresh) JVM — the
+    // preferred protocol (one JVM per data point avoids heap/codegen-cache
+    // drift across runs); efficiency is computed from two such invocations.
+    if (args.length >= 2 && args(0) == "single") {
+      val cpus = args(1).toInt
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS_MARKER")),
+        s"corpus missing at $path — run `gen` mode first")
+      val (n, sec) = timedRun(cpus, path, warm = true)
+      println(f"""{"metric":"single_run","cpus":$cpus,"rows":$n,"sec":$sec%.2f,"images_per_sec":${n / sec}%.1f}""")
+      return
+    }
+    if (args.length >= 1 && args(0) == "gen") {
+      val spark = session(hi)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS_MARKER"))) {
+        val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(groups = groups))
+        TableIO.writeImages(SyntheticCorpus.imagesOf(gen), path, numParts = 64)
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$path/_SUCCESS_MARKER"))
+      }
+      println(s"""{"metric":"gen","path":"$path"}""")
+      spark.stop()
+      return
+    }
 
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS_MARKER"))) {
       val spark = session(hi)

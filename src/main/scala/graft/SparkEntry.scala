@@ -272,6 +272,16 @@ object SparkEntry {
           col("fake_h").cast("long").as("fake_h"))
     }),
 
+    // frame-sampling analog: k deterministic byte offsets per payload
+    "mm_frame_samples" -> ((s, dir) => {
+      val payloads = docs(s, dir).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.sampleOffsets(s, payloads, k = 4)
+        .select(col("doc_id"), col("sample_idx").cast("long").as("sample_idx"),
+          col("byte_offset").cast("long").as("byte_offset"),
+          col("byte_value").cast("long").as("byte_value"))
+    }),
+
     // ---- flagship image pipeline (rows-only; planted-truth ScalaTest) ----
     "pipeline_images_e2e" -> ((s, dir) => entry(s))
   )
@@ -530,6 +540,12 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           |        ORDER BY sim DESC, neighbor_id) AS rk FROM scored)
           |WHERE rk <= 5""".stripMargin,
+
+      "mm_frame_samples" ->
+        """SELECT doc_id, i::BIGINT AS sample_idx,
+          |  (octet_length(encode(text)) * i // 4)::BIGINT AS byte_offset,
+          |  ascii(substr(text, (octet_length(encode(text)) * i // 4)::INT + 1, 1))::BIGINT AS byte_value
+          |FROM documents, range(0, 4) t(i)""".stripMargin,
 
       "mm_payload_meta" ->
         """SELECT doc_id,

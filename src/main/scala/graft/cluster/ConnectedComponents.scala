@@ -34,7 +34,8 @@ object ConnectedComponents {
       .where(col("v") > col("u"))
       .select(col("v").as("a"), col("mn").as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
+    // no distinct here: smallStar dedups at its end; dropping it removes a
+    // full shuffle per iteration (duplicate edges are rare on chain graphs)
   }
 
   /** One small-star step: orient edges to the smaller endpoint; every node
@@ -73,7 +74,10 @@ object ConnectedComponents {
     var iter = 0
     var curSig = signature(cur)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      // two star-pairs per convergence check: halves the driver action
+      // round-trips; the extra pass on an already-converged graph is a no-op
+      val next = smallStar(largeStar(
+        smallStar(largeStar(cur)).localCheckpoint(false))).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == curSig
       cur = next

@@ -34,7 +34,8 @@ object Pipeline {
       verifiedPairs: Long,
       clusters: Long,
       singles: Long,
-      workRate: Double)
+      workRate: Double,
+      seconds: Double = 0.0)
 
   final case class Result(
       assign: DataFrame, // (row_id, cluster_id)
@@ -111,25 +112,67 @@ object Pipeline {
       cand, features, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // Incremental union-find: current assignment edges + new verified pairs.
-    val assignEdges = st.assign.where(col("row_id") =!= col("cluster_id"))
-      .select(col("cluster_id").as("a"), col("row_id").as("b"))
-    val comps = ConnectedComponents.components(spark, assignEdges.unionAll(verified))
-    val assign = ConnectedComponents.assign(rows, comps).localCheckpoint(false)
-    val scores = st.scores
-      .unionAll(endpointCounts(verified))
-      .groupBy("row_id").agg(sum("score").as("score"))
-      .localCheckpoint(false)
-
     val nVerified = verified.count()
-    verified.unpersist()
-    val (clusters, singles) = clusterStats(assign)
-    val workRate =
-      if (prevSingles == 0) 0.0
-      else (prevSingles - singles).toDouble / prevSingles
-    (State(assign, scores),
-      PhaseStat("final", macroItr, -1L, nVerified, clusters, singles, workRate))
+
+    if (nVerified == 0) {
+      // nothing merged this round — skip the CC/score jobs entirely
+      verified.unpersist()
+      (st, PhaseStat("final", macroItr, -1L, 0L, -1L, prevSingles, 0.0))
+    } else {
+      // Incremental union-find on the LABEL graph: new pairs touch existing
+      // clusters, so mapping endpoints to their current labels gives a graph
+      // with ≤ nVerified edges — orders of magnitude smaller than re-running
+      // CC over all assignment edges (which made late macro rounds cost more
+      // than the main pass). Small label graphs union-find on the driver
+      // (the reference's own merge structure, :399-418); large ones fall
+      // back to distributed CC.
+      val la = st.assign.select(col("row_id").as("a"), col("cluster_id").as("la"))
+      val lb = st.assign.select(col("row_id").as("b"), col("cluster_id").as("lb"))
+      val labelEdges = verified.join(la, "a").join(lb, "b")
+        .where(col("la") =!= col("lb"))
+        .select(col("la").as("a"), col("lb").as("b")).distinct()
+
+      val remap: DataFrame =
+        if (nVerified <= 1000000) {
+          val edges = labelEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r0 = x
+            while (parent.getOrElse(r0, r0) != r0) r0 = parent(r0)
+            var c = x
+            while (parent.getOrElse(c, c) != r0) { val nx = parent(c); parent(c) = r0; c = nx }
+            r0
+          }
+          edges.foreach { case (x, y) =>
+            val (px, py) = (find(x), find(y))
+            if (px != py) parent(math.max(px, py)) = math.min(px, py) // min-center (:413)
+          }
+          val pairs = parent.keys.map(k => (k, find(k))).filter(p => p._1 != p._2).toSeq
+          import spark.implicits._
+          pairs.toDF("cluster_id", "new_cluster_id")
+        } else {
+          ConnectedComponents.components(spark, labelEdges)
+            .where(col("row_id") =!= col("cluster_id"))
+            .select(col("row_id").as("cluster_id"), col("cluster_id").as("new_cluster_id"))
+        }
+
+      val assign = st.assign
+        .join(broadcast(remap), Seq("cluster_id"), "left")
+        .select(col("row_id"),
+          coalesce(col("new_cluster_id"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(false)
+      val scores = st.scores
+        .unionAll(endpointCounts(verified))
+        .groupBy("row_id").agg(sum("score").as("score"))
+        .localCheckpoint(false)
+      verified.unpersist()
+      val (clusters, singles) = clusterStats(assign)
+      val workRate =
+        if (prevSingles == 0) 0.0
+        else (prevSingles - singles).toDouble / prevSingles
+      (State(assign, scores),
+        PhaseStat("final", macroItr, -1L, nVerified, clusters, singles, workRate))
+    }
   }
 
   def run(spark: SparkSession, images: DataFrame, cfg: GraftConfig = GraftConfig()): Result = {
@@ -142,8 +185,9 @@ object Pipeline {
     val capLen = meta.getInt(1)
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[PhaseStat]
+    val tInit = System.nanoTime()
     var (st, stat0) = initialState(spark, features, cfg, n, capLen)
-    stats += stat0
+    stats += stat0.copy(seconds = (System.nanoTime() - tInit) / 1e9)
 
     // 4. Final clustering: macro rounds over the focus set (C5/C6).
     var macroItr = 1
@@ -152,8 +196,10 @@ object Pipeline {
     while (!done && macroItr <= cfg.maxMacroRounds) {
       if (prevSingles == 0) { done = true }
       else {
-        val (st2, stat) = macroStep(spark, features, st, cfg, macroItr, prevSingles)
+        val tR = System.nanoTime()
+        val (st2, stat0) = macroStep(spark, features, st, cfg, macroItr, prevSingles)
         st = st2
+        val stat = stat0.copy(seconds = (System.nanoTime() - tR) / 1e9)
         stats += stat
         done = stat.workRate < cfg.minWorkRate
         prevSingles = stat.singles

@@ -88,9 +88,8 @@ object DocDedup {
       .where(col("a") < col("b"))
       .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= hammingMax)
       .select("a", "b").distinct()
-    val spark2 = spark
     val assign = ConnectedComponents.assign(
-      sims.select("row_id"), ConnectedComponents.components(spark2, pairs))
+      sims.select("row_id"), ConnectedComponents.components(spark, pairs))
     sims.unpersist()
     assign.select(col("row_id").as("doc_id"), col("cluster_id"))
   }

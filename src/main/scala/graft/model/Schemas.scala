@@ -87,7 +87,6 @@ final case class GraftConfig(
     repsPerChunk: Int = 3,         // :110
     hammingThreshold: Int = 16,    // graft: phash bit distance confirm (AND-side)
     minLcs: Int = 16,              // graft: suffix-array exact-match confirm
-    maxShardSize: Int = 4096,      // salting: window shard cap for mega-buckets
     saltShards: Int = 16,          // fixed salt fan-out inside hot buckets
     chunkRounds: Int = 8,          // fused common-substring rounds (ref: ≤64 adaptive)
     maxMacroRounds: Int = 8,       // final-clustering macro iterations (fused L each)

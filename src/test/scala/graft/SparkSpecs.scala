@@ -168,3 +168,15 @@ class PipelineSpec extends SparkSpec {
     gen.unpersist()
   }
 }
+
+class SkewSpec extends SparkSpec {
+  test("mega-group skew fixture: 10%-of-corpus duplicate group stays correct") {
+    val gen = SyntheticCorpus.generate(spark,
+      SyntheticCorpus.GenConfig(groups = 40, megaGroupRows = 60)).cache()
+    val res = Pipeline.run(spark, SyntheticCorpus.imagesOf(gen), GraftConfig(seed = 7L))
+    val rep = Metrics.evaluate(spark, res.assign, SyntheticCorpus.truthOf(gen))
+    assert(rep.dupPairRecall >= 0.99, s"recall ${rep.dupPairRecall}")
+    assert(rep.dupPairPrecision >= 0.99, s"precision ${rep.dupPairPrecision}")
+    gen.unpersist()
+  }
+}
