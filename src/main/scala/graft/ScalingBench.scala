@@ -32,6 +32,7 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.io.compression.codec", "zstd") // denser shuffle spill
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -96,6 +97,28 @@ object ScalingBench {
         s"corpus missing at $path — run `gen` mode first")
       val (n, sec) = timedRun(cpus, path, warm = true)
       println(f"""{"metric":"single_run","cpus":$cpus,"rows":$n,"sec":$sec%.2f,"images_per_sec":${n / sec}%.1f}""")
+      return
+    }
+    // `replicate <factor> <srcPath> <dstPath>`: build a larger measurement
+    // corpus by unioning `factor` id-suffixed copies of an existing corpus
+    // (payload bytes replaced by a 1-byte placeholder — the pipeline never
+    // reads them, and generating 16M real images would take ~90 min).
+    // Groups get `factor`x larger (identical captions merge across copies),
+    // which also stresses the salted mega-bucket path.
+    if (args.length >= 4 && args(0) == "replicate") {
+      val factor = args(1).toInt
+      val srcPath = args(2); val dstPath = args(3)
+      val spark = session(hi)
+      import org.apache.spark.sql.functions._
+      val src0 = spark.read.parquet(srcPath).drop("part_id")
+      val copies = (0 until factor).map { c =>
+        src0.withColumn("image_id", concat(col("image_id"), lit(s"_r$c")))
+          .withColumn("bytes", lit(Array[Byte](1)))
+      }.reduce(_ unionAll _)
+      TableIO.writeImages(copies, dstPath, numParts = 64)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dstPath/_SUCCESS_MARKER"))
+      println(s"""{"metric":"replicate","rows":${spark.read.parquet(dstPath).count()},"path":"$dstPath"}""")
+      spark.stop()
       return
     }
     if (args.length >= 1 && args(0) == "gen") {
