@@ -128,10 +128,14 @@ object SparkEntry {
     }),
 
     // ---- pipeline-stage operators over documents ----
-    // P1 — q-gram shingling stats (list + set sizes, 4-grams)
+    // P1 — q-gram shingling stats (list + set sizes, 4-grams); guarded so
+    // texts shorter than the gram width yield an empty list (Spark sequence
+    // reverses on a descending range, DuckDB range is empty — ADVICE r1)
     "p1_shingle_stats" -> ((s, dir) => {
-      val grams = transform(sequence(lit(1), length(col("text")) - 3),
-        i => col("text").substr(i, lit(4)))
+      val grams = when(length(col("text")) >= 4,
+        transform(sequence(lit(1), length(col("text")) - 3),
+          i => col("text").substr(i, lit(4))))
+        .otherwise(typedLit(Array.empty[String]))
       docs(s, dir).select(col("doc_id"),
         size(grams).cast("long").as("n_grams"),
         size(array_distinct(grams)).cast("long").as("n_distinct"))

@@ -46,64 +46,79 @@ object CheckpointedPipeline {
     val features = spark.read.parquet(s"$workDir/features")
       .drop("part_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = features.count()
-    val capLen = features.select(length(col("caption"))).head().getInt(0)
+    // Same (n, capLen) aggregate as Pipeline.run — round 1 took capLen from
+    // an arbitrary first row (partition-order dependent), so resumed and
+    // non-resumed runs could derive different chunk-phase anchor params from
+    // the same data (VERDICT r1 "what's wrong" #1).
+    val meta = features.agg(count(lit(1)), max(length(col("caption")))).head()
+    val n = meta.getLong(0)
+    val capLen = meta.getInt(1)
 
     // ---- Stage 2-4: clustering rounds (round = resumable unit). ----
     val stats = scala.collection.mutable.ArrayBuffer.empty[Pipeline.PhaseStat]
     val roundsComputed = scala.collection.mutable.ArrayBuffer.empty[Int]
     val roundsSkipped = scala.collection.mutable.ArrayBuffer.empty[Int]
 
-    def saveState(st: Pipeline.State, r: Int, stat: Pipeline.PhaseStat): Unit = {
+    def saveState(st: Pipeline.State, r: Int, stat: Pipeline.PhaseStat, bad: Int): Unit = {
       st.assign.write.mode("overwrite").parquet(s"$workDir/state/round=$r/assign")
       st.scores.write.mode("overwrite").parquet(s"$workDir/state/round=$r/scores")
       TableIO.writeEntry(workDir, TableIO.LedgerEntry(
         s"round_$r", "round", -1, stat.clusters,
         Map("singles" -> stat.singles.toString,
             "verified" -> stat.verifiedPairs.toString,
-            "workRate" -> stat.workRate.toString)))
+            "workRate" -> stat.workRate.toString,
+            "badRounds" -> bad.toString)))
     }
     def loadState(r: Int): Pipeline.State = Pipeline.State(
       spark.read.parquet(s"$workDir/state/round=$r/assign"),
       spark.read.parquet(s"$workDir/state/round=$r/scores"))
-    def loadStat(r: Int): (Long, Double) = {
-      // singles + workRate from the ledger (needed to resume loop control)
+    def loadStat(r: Int): (Long, Double, Int) = {
+      // singles + workRate + bad-round count from the ledger (loop control)
       val txt = new String(java.nio.file.Files.readAllBytes(
         TableIO.ledgerDir(workDir).resolve(s"round_$r.json")))
       val singles = "\"singles\": \"(\\d+)\"".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
       val wr = "\"workRate\": \"([0-9.Ee+-]+)\"".r.findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(1.0)
-      (singles, wr)
+      val bad = "\"badRounds\": \"(\\d+)\"".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+      (singles, wr, bad)
     }
 
     val doneRounds = TableIO.completedKeys(workDir)
       .filter(_.startsWith("round_")).map(_.stripPrefix("round_").toInt)
     val lastDone = if (doneRounds.isEmpty) -1 else doneRounds.max
 
+    val ctl = Pipeline.RoundControl(cfg, n)
     var st: Pipeline.State = null
     var prevSingles = 0L
     var prevWorkRate = 1.0
+    var bad = 0
     if (lastDone < 0) {
       val (s0, stat0) = Pipeline.initialState(spark, features, cfg, n, capLen)
       st = s0; stats += stat0
-      saveState(s0, 0, stat0)
+      saveState(s0, 0, stat0, bad = 0)
       roundsComputed += 0
       prevSingles = stat0.singles
     } else {
       st = loadState(lastDone)
-      val (singles, wr) = loadStat(lastDone)
+      val (singles, wr, b) = loadStat(lastDone)
       prevSingles = singles
       prevWorkRate = wr
+      bad = b
       roundsSkipped ++= (0 to lastDone)
     }
 
     var macroItr = math.max(lastDone, 0) + 1
-    var done2 = (lastDone >= 1 && prevWorkRate < cfg.minWorkRate) || prevSingles == 0
-    while (!done2 && macroItr <= cfg.maxMacroRounds) {
+    var done2 =
+      if (lastDone < 1) prevSingles == 0
+      else if (cfg.maxMacroRounds > 0) prevWorkRate < cfg.minWorkRate || prevSingles == 0
+      else (bad >= ctl.allowedBadMacro && lastDone >= ctl.minMacro) || prevSingles == 0
+    while (!done2 && macroItr <= ctl.maxMacro) {
       val (st2, stat) = Pipeline.macroStep(spark, features, st, cfg, macroItr, prevSingles)
       st = st2; stats += stat
-      saveState(st2, macroItr, stat)
+      val (nbad, stop) = ctl.step(bad, macroItr, prevSingles, stat)
+      bad = nbad
+      saveState(st2, macroItr, stat, bad)
       roundsComputed += macroItr
-      done2 = stat.workRate < cfg.minWorkRate || stat.singles == 0
+      done2 = stop || stat.singles == 0
       prevSingles = stat.singles
       macroItr += 1
     }

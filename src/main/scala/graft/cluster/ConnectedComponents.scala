@@ -76,9 +76,14 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       // two star-pairs per convergence check: halves the driver action
       // round-trips; the extra pass on an already-converged graph is a no-op
-      val next = smallStar(largeStar(
-        smallStar(largeStar(cur)).localCheckpoint(false))).localCheckpoint(false)
-      val nextSig = signature(next)
+      val mid = smallStar(largeStar(cur)).localCheckpoint(false)
+      val next = smallStar(largeStar(mid)).localCheckpoint(false)
+      val nextSig = signature(next) // materializes mid and next
+      // bounded retention: superseded iteration state is freed immediately —
+      // driver-GC-only release accumulated ~50 GB on long runs (round-1
+      // scale blocker at 8–16M rows)
+      graft.util.Checkpoints.unpersistCheckpoint(mid)
+      graft.util.Checkpoints.unpersistCheckpoint(cur)
       converged = nextSig == curSig
       cur = next
       curSig = nextSig
@@ -86,10 +91,16 @@ object ConnectedComponents {
     }
 
     // Fixpoint is a star forest: non-roots appear once as `a` pointing at the
-    // root; roots appear only as `b`.
-    cur.select(col("a").as("row_id"), col("b").as("cluster_id"))
+    // root; roots appear only as `b`. The output is EAGERLY checkpointed so
+    // every internal iteration block can be freed here and the caller can
+    // free the (small) result once it has folded it into its own state.
+    val out = cur
+      .select(col("a").as("row_id"), col("b").as("cluster_id"))
       .unionAll(cur.select(col("b").as("row_id"), col("b").as("cluster_id")))
       .distinct()
+      .localCheckpoint()
+    graft.util.Checkpoints.unpersistCheckpoint(cur)
+    out
   }
 
   /** Cheap convergence fingerprint: (count, xor of edge hashes) — xor is

@@ -57,6 +57,44 @@ object Pipeline {
   /** Mutable-between-rounds pipeline state (assign + scores). */
   final case class State(assign: DataFrame, scores: DataFrame)
 
+  /** C6 — adaptive round control (reference `:123-125,602,649-657`), scaled
+    * to fused macro rounds (1 macro round = L micro rounds):
+    *   micro budget   = max(⌈n^(1/2.2)⌉, 300)           (`:602`, min_rounds)
+    *   work_in_bad    = ⌈n^(1/5)⌉ singles per micro      (`:125`)
+    *   allowed_bad    = clamp(⌈1e7/n⌉, 4, 1000) micros   (`:123`)
+    * A macro round is "bad" when it resolves ≤ L·work_in_bad singles; the
+    * run stops once ⌈allowed_bad/L⌉ consecutive bad macro rounds have
+    * occurred AND ⌈300/L⌉ macro rounds have run (the reference's min_rounds
+    * gate — on small inputs bad rounds are cheap, so the budget is patient).
+    * Documented divergence: singles == 0 stops immediately; the reference
+    * idles to min_rounds because its micro round is nearly free, whereas a
+    * Spark macro round carries fixed job overhead and with no singles the
+    * focus holds only cluster reps, which the completed rounds' L fresh lane
+    * subsets each already sampled.
+    *
+    * `cfg.maxMacroRounds > 0` is an explicit override (tests, bounded runs):
+    * fixed budget + the work-rate stop, round-1 behavior. */
+  final case class RoundControl(cfg: GraftConfig, n: Long) {
+    private val l = cfg.bandRounds
+    val maxMacro: Int =
+      if (cfg.maxMacroRounds > 0) cfg.maxMacroRounds
+      else math.ceil(math.max(math.ceil(math.pow(n.toDouble, 1.0 / 2.2)), 300.0) / l).toInt
+    val workInBadMacro: Long = l * math.ceil(math.pow(n.toDouble, 0.2)).toLong
+    val allowedBadMacro: Int =
+      math.max(1, math.ceil(math.min(math.max(1e7 / n.toDouble, 4.0), 1000.0) / l).toInt)
+    val minMacro: Int = math.ceil(300.0 / l).toInt
+
+    /** Fold one finished round into the control state.
+      * Returns (new bad-round count, stop?). */
+    def step(bad: Int, macroItr: Int, prevSingles: Long, stat: PhaseStat): (Int, Boolean) =
+      if (cfg.maxMacroRounds > 0) (0, stat.workRate < cfg.minWorkRate)
+      else {
+        val diff = prevSingles - stat.singles
+        val nbad = if (diff <= workInBadMacro) bad + 1 else 0
+        (nbad, nbad >= allowedBadMacro && macroItr >= minMacro)
+      }
+  }
+
   /** Phases 2+3: chunk rounds + global banding + first CC pass. */
   def initialState(spark: SparkSession, features: DataFrame, cfg: GraftConfig,
                    n: Long, capLen: Int): (State, PhaseStat) = {
@@ -75,13 +113,16 @@ object Pipeline {
       cand, features, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val assign = ConnectedComponents.assign(
-      rows, ConnectedComponents.components(spark, firstEdges))
-      .localCheckpoint(false)
-    val scores = endpointCounts(firstEdges).localCheckpoint(false)
     val nVerified = firstEdges.count()
-    val (clusters, singles) = clusterStats(assign)
+    val comps = ConnectedComponents.components(spark, firstEdges)
+    val assign = ConnectedComponents.assign(rows, comps).localCheckpoint(false)
+    // scores checkpoint is EAGER: it must materialize while firstEdges is
+    // still cached — lazily it would recompute the whole verify pass on
+    // first use in macro round 1 (round-1 inefficiency).
+    val scores = endpointCounts(firstEdges).localCheckpoint()
+    val (clusters, singles) = clusterStats(assign) // materializes assign
     firstEdges.unpersist()
+    graft.util.Checkpoints.unpersistCheckpoint(comps) // assign supersedes it
     (State(assign, scores),
       PhaseStat("chunk+band", 0, -1L, nVerified, clusters, singles, 1.0))
   }
@@ -106,13 +147,17 @@ object Pipeline {
       .where(col("rk") === r + 1).select("row_id")
     val focus = singlesDf.unionAll(reps)
 
+    // persisted: chainPairs scans its input twice (intra window + shard-min
+    // aggregate) and this join is the expensive branch of that input
     val focusFeatures = features.join(focus, "row_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = Banding.candidatePairs(focusFeatures, cfg, macroRound = macroItr)
     val verified = VerifyPairs.verify(
       cand, features, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nVerified = verified.count()
+    focusFeatures.unpersist()
 
     if (nVerified == 0) {
       // nothing merged this round — skip the CC/score jobs entirely
@@ -132,9 +177,14 @@ object Pipeline {
         .where(col("la") =!= col("lb"))
         .select(col("la").as("a"), col("lb").as("b")).distinct()
 
+      // Bounded driver pull: probe at most 100k+1 label edges; if the graph
+      // is larger, never collect it — distributed CC instead. (Round-1 gated
+      // on nVerified ≤ 1M, a generous indirect bound — VERDICT r1 #5.)
+      val labelEdgeCap = 100000
+      val probe = labelEdges.limit(labelEdgeCap + 1).collect()
       val remap: DataFrame =
-        if (nVerified <= 1000000) {
-          val edges = labelEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        if (probe.length <= labelEdgeCap) {
+          val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
           val parent = scala.collection.mutable.Map.empty[Long, Long]
           def find(x: Long): Long = {
             var r0 = x
@@ -161,12 +211,20 @@ object Pipeline {
         .select(col("row_id"),
           coalesce(col("new_cluster_id"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint(false)
+      // EAGER: scores must materialize while `verified` is still cached —
+      // and before the old scores checkpoint is freed below.
       val scores = st.scores
         .unionAll(endpointCounts(verified))
         .groupBy("row_id").agg(sum("score").as("score"))
-        .localCheckpoint(false)
+        .localCheckpoint()
+      val (clusters, singles) = clusterStats(assign) // materializes assign
       verified.unpersist()
-      val (clusters, singles) = clusterStats(assign)
+      // new state is materialized — free the superseded round's checkpoint
+      // blocks NOW (driver GC would retain them for the whole run: the
+      // round-1 scale-killer that exhausted scratch disk at 8M+ rows)
+      graft.util.Checkpoints.unpersistCheckpoint(remap)
+      graft.util.Checkpoints.unpersistCheckpoint(st.assign)
+      graft.util.Checkpoints.unpersistCheckpoint(st.scores)
       val workRate =
         if (prevSingles == 0) 0.0
         else (prevSingles - singles).toDouble / prevSingles
@@ -189,11 +247,14 @@ object Pipeline {
     var (st, stat0) = initialState(spark, features, cfg, n, capLen)
     stats += stat0.copy(seconds = (System.nanoTime() - tInit) / 1e9)
 
-    // 4. Final clustering: macro rounds over the focus set (C5/C6).
+    // 4. Final clustering: macro rounds over the focus set (C5/C6) — budget
+    // and bad-round patience scale with n (RoundControl).
+    val ctl = RoundControl(cfg, n)
     var macroItr = 1
+    var bad = 0
     var done = false
     var prevSingles = stats.last.singles
-    while (!done && macroItr <= cfg.maxMacroRounds) {
+    while (!done && macroItr <= ctl.maxMacro) {
       if (prevSingles == 0) { done = true }
       else {
         val tR = System.nanoTime()
@@ -201,7 +262,9 @@ object Pipeline {
         st = st2
         val stat = stat0.copy(seconds = (System.nanoTime() - tR) / 1e9)
         stats += stat
-        done = stat.workRate < cfg.minWorkRate
+        val (nbad, stop) = ctl.step(bad, macroItr, prevSingles, stat)
+        bad = nbad
+        done = stop
         prevSingles = stat.singles
         macroItr += 1
       }

@@ -59,37 +59,39 @@ object Banding {
     * emitted pairs form a spanning chain (b-1 pairs): rows chain within a
     * salt shard, shard minima chain across shards. This is the reference's
     * adjacency pairing (`:507-509,541-542,639-641`) made skew-proof.
+    *
+    * Plan shape (round-2 fix): the wide (band, band_hash, salt) exchange of
+    * the exploded L×n relation happens exactly ONCE — the window pass that
+    * emits the intra-shard chain. Round 1 derived the shard minima from a
+    * second branch off the same window, and Catalyst's column pruning
+    * specialized the branches into TWO wide exchanges (PlanAudit finding,
+    * commit e0388f1). The shard minimum is simply min(row_id) per shard (the
+    * chain is ordered by row_id), so it is now recomputed via a hash
+    * aggregate whose map-side partial aggregation means only distinct
+    * (band, band_hash, salt, min) tuples are shuffled — a tiny exchange,
+    * bounded by buckets × saltShards, never L×n. The input is scanned twice,
+    * but callers keep it cheap to recompute (cached features + codegen'd
+    * hash columns), trading a second wide SHUFFLE for a second map pass.
     */
   def chainPairs(buckets: DataFrame, saltShards: Int): DataFrame = {
     val salted = buckets.withColumn(
       "salt", pmod(xxhash64(col("row_id"), col("band")), lit(saltShards)))
 
-    // ONE window pass computes both the intra-shard chain (lag) and the
-    // shard-minimum marker (row_number == 1). Both output branches project
-    // from this single plan, so Catalyst's ReuseExchange materializes the
-    // wide (band, band_hash, salt) shuffle once — without it the explode +
-    // exchange ran twice (observed in explain(formatted)).
     val wIntra = Window.partitionBy("band", "band_hash", "salt").orderBy("row_id")
-    val windowed = salted
-      .select(col("band"), col("band_hash"), col("salt"), col("row_id"),
-        lag("row_id", 1).over(wIntra).as("prev"),
-        row_number().over(wIntra).as("rn"))
+    val intra = salted
+      .select(col("row_id").as("y"), lag("row_id", 1).over(wIntra).as("x"))
+      .where(col("x").isNotNull)
 
-    val intra = windowed
-      .where(col("prev").isNotNull)
-      .select(col("prev").as("x"), col("row_id").as("y"))
-
-    // Shard minima (rn == 1) chained across shards of the same bucket —
-    // a SMALL second shuffle (≤ saltShards rows per bucket).
+    // Shard minima chained across shards of the same bucket — partial-agg
+    // shuffle (≤ saltShards rows per bucket) + a small window.
     val wInter = Window.partitionBy("band", "band_hash").orderBy("salt", "mn")
-    val inter = windowed
-      .where(col("rn") === 1)
-      .select(col("band"), col("band_hash"), col("salt"), col("row_id").as("mn"))
+    val inter = salted
+      .groupBy("band", "band_hash", "salt").agg(min("row_id").as("mn"))
       .withColumn("prev", lag("mn", 1).over(wInter))
       .where(col("prev").isNotNull)
       .select(col("prev").as("x"), col("mn").as("y"))
 
-    intra.unionAll(inter)
+    intra.select("x", "y").unionAll(inter)
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()

@@ -89,7 +89,8 @@ final case class GraftConfig(
     minLcs: Int = 16,              // graft: suffix-array exact-match confirm
     saltShards: Int = 16,          // fixed salt fan-out inside hot buckets
     chunkRounds: Int = 8,          // fused common-substring rounds (ref: ≤64 adaptive)
-    maxMacroRounds: Int = 8,       // final-clustering macro iterations (fused L each)
-    minWorkRate: Double = 0.005,   // :571 low_work_rate analog — stop when below
+    maxMacroRounds: Int = 0,       // 0 = adaptive (C6, ref :123-125,:602 scaled by L);
+                                   // >0 = fixed budget + minWorkRate stop (tests)
+    minWorkRate: Double = 0.005,   // :571 low_work_rate analog (explicit mode only)
     seed: Long = 42L
 )
