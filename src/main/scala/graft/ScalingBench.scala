@@ -62,7 +62,7 @@ object ScalingBench {
     }
   }
 
-  private def timedRun(cpus: Int, imagesPath: String, warm: Boolean): (Long, Double) = {
+  private def timedRun(cpus: Int, imagesPath: String, warm: Boolean): (Long, Double, Double) = {
     val spark = session(cpus)
     val prof = new StageProfiler
     if (sys.env.contains("SPARK_GRAFT_PROFILE")) spark.sparkContext.addSparkListener(prof)
@@ -77,8 +77,17 @@ object ScalingBench {
     res.stats.foreach(s => System.err.println(
       f"[phase] ${s.phase} round=${s.macroRound} sec=${s.seconds}%.2f verified=${s.verifiedPairs} singles=${s.singles} workRate=${s.workRate}%.4f"))
     if (sys.env.contains("SPARK_GRAFT_PROFILE")) prof.report()
+    // Quality at scale (outside the timing): truth group is encoded in the
+    // generator's image_id ("img-<group>-<copy>[_r<replica>]"), so recall is
+    // measurable on any generated or replicated corpus.
+    import org.apache.spark.sql.functions._
+    val truth = images.select(
+      graft.feat.RowIds.rowIdCol(col("image_id")).as("row_id"),
+      col("image_id"),
+      regexp_extract(col("image_id"), "img-(\\d+)-", 1).cast("long").as("true_cluster_id"))
+    val recall = graft.eval.Metrics.evaluate(spark, res.assign, truth).dupPairRecall
     spark.stop()
-    (n, sec)
+    (n, sec, recall)
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,8 +104,8 @@ object ScalingBench {
       val cpus = args(1).toInt
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS_MARKER")),
         s"corpus missing at $path — run `gen` mode first")
-      val (n, sec) = timedRun(cpus, path, warm = true)
-      println(f"""{"metric":"single_run","cpus":$cpus,"rows":$n,"sec":$sec%.2f,"images_per_sec":${n / sec}%.1f}""")
+      val (n, sec, recall) = timedRun(cpus, path, warm = true)
+      println(f"""{"metric":"single_run","cpus":$cpus,"rows":$n,"sec":$sec%.2f,"images_per_sec":${n / sec}%.1f,"recall":$recall%.6f}""")
       return
     }
     // `replicate <factor> <srcPath> <dstPath>`: build a larger measurement
@@ -141,9 +150,9 @@ object ScalingBench {
       spark.stop()
     }
 
-    val (n1, tHiWarm) = timedRun(hi, path, warm = true)
-    val (_, tLo) = timedRun(lo, path, warm = false)
-    val (_, tHi) = timedRun(hi, path, warm = false)
+    val (n1, tHiWarm, _) = timedRun(hi, path, warm = true)
+    val (_, tLo, _) = timedRun(lo, path, warm = false)
+    val (_, tHi, _) = timedRun(hi, path, warm = false)
     val speedup = tLo / tHi
     val eff = speedup / (hi.toDouble / lo)
     println(

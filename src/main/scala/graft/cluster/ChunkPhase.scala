@@ -33,15 +33,15 @@ import graft.util.Hashing
 object ChunkPhase {
 
   private final val CHUNK_DOMAIN = 0x43484E4BL // "CHNK"
-  // Anchor alphabet: common English letters (the caption-domain analog of
-  // the reference's uniform draw over ACGT, `:491`).
-  private val ANCHOR_CHARS = "etaoinshrdlucmfwyp"
 
-  private def anchor(seed: Long, len: Int): String = {
+  // Anchor alphabet is configurable (GraftConfig.anchorAlphabet): common
+  // English letters for caption corpora — the caption-domain analog of the
+  // reference's uniform draw over ACGT (`:491`) — and "ACGT" for DNA parity.
+  private def anchor(alphabet: String, seed: Long, len: Int): String = {
     val sb = new StringBuilder(len)
     var i = 0
     while (i < len) {
-      sb.append(ANCHOR_CHARS.charAt(Hashing.boundedInt(Hashing.hash2(seed, i.toLong), ANCHOR_CHARS.length)))
+      sb.append(alphabet.charAt(Hashing.boundedInt(Hashing.hash2(seed, i.toLong), alphabet.length)))
       i += 1
     }
     sb.toString
@@ -70,13 +70,13 @@ object ChunkPhase {
       val rs = Hashing.hash3(cfg.seed, CHUNK_DOMAIN, r.toLong)
       if (r < (rounds + 1) / 2) {
         // two anchors, sorted pair (the reference's sorted multi-sig, :499)
-        val a1 = anchor(Hashing.hash2(rs, 1L), w2)
-        val a2 = anchor(Hashing.hash2(rs, 2L), w2)
+        val a1 = anchor(cfg.anchorAlphabet, Hashing.hash2(rs, 1L), w2)
+        val a2 = anchor(cfg.anchorAlphabet, Hashing.hash2(rs, 2L), w2)
         val s1 = cmnSubstr(col("caption"), a1, w2, t2)
         val s2 = cmnSubstr(col("caption"), a2, w2, t2)
         xxhash64(lit(r), array_join(array_sort(array(s1, s2)), ""))
       } else {
-        val a1 = anchor(Hashing.hash2(rs, 1L), w1)
+        val a1 = anchor(cfg.anchorAlphabet, Hashing.hash2(rs, 1L), w1)
         xxhash64(lit(r), cmnSubstr(col("caption"), a1, w1, t1))
       }
     }

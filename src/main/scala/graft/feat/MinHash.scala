@@ -73,12 +73,15 @@ object MinHash {
     import spark.implicits._
     val q = cfg.q
     val seeds = laneSeeds(cfg)
+    val usePhash = cfg.usePhash
     images
       .select("image_id", "caption", "phash")
       .as[(String, String, Long)]
       .mapPartitions { it =>
         it.map { case (id, caption, phash) =>
-          val sh = Shingler.shingles(caption, phash, q)
+          val sh =
+            if (usePhash) Shingler.shingles(caption, phash, q)
+            else Shingler.captionShingles(caption, q)
           FeatureRow(RowIds.rowId(id), caption, sh, signature(sh, seeds), simhash(sh), phash)
         }
       }

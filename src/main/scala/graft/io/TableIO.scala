@@ -77,9 +77,15 @@ object TableIO {
       .map(_.stripPrefix("part_id=").toInt)
       .toSeq.sorted
 
-  /** S2 — evyat-style text export for parity fixtures
+  /** S2 — evyat-style text export
     * (`/root/reference/lsh_based_clustering.py:677-695`): per cluster a
-    * majority-vote representative line, a separator, then sorted members. */
+    * majority-vote representative line, a separator, then sorted members.
+    *
+    * Distributed (round-2 fix — the round-1 version collected the whole
+    * corpus to the driver): one text block per cluster is written via the
+    * text sink after an `orderBy(cluster_id)` (range partitioning ⇒ part
+    * files are globally ordered by file name), then the part files are
+    * stream-concatenated into `outFile` with bounded driver memory. */
   def exportEvyat(spark: SparkSession, assignWithKeys: DataFrame, outFile: String): Unit = {
     // assignWithKeys: (cluster_id, member: String, rep_candidate: String)
     val w = org.apache.spark.sql.expressions.Window
@@ -88,20 +94,29 @@ object TableIO {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
       .select(col("cluster_id"), col("rep_candidate").as("rep"))
-    val lines = assignWithKeys.groupBy("cluster_id")
+    val blocks = assignWithKeys.groupBy("cluster_id")
       .agg(sort_array(collect_list(col("member"))).as("members"))
       .join(majority, "cluster_id")
       .orderBy("cluster_id")
-      .select(col("rep"), col("members"))
-      .collect()
-    val sb = new StringBuilder
-    lines.foreach { r =>
-      sb.append(r.getString(0)).append('\n')
-      sb.append("*****************************\n")
-      r.getSeq[String](1).foreach(m => sb.append(m).append('\n'))
-      sb.append("\n\n")
-    }
-    Files.createDirectories(Paths.get(outFile).getParent)
-    Files.write(Paths.get(outFile), sb.toString.getBytes(StandardCharsets.UTF_8))
+      .select(concat(
+        col("rep"), lit("\n*****************************\n"),
+        array_join(col("members"), "\n"), lit("\n\n")).as("value"))
+
+    val partsDir = Paths.get(outFile + ".parts")
+    blocks.write.mode("overwrite").text(partsDir.toString)
+
+    val parent = Paths.get(outFile).getParent
+    if (parent != null) Files.createDirectories(parent)
+    val os = new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(outFile)))
+    try {
+      Files.list(partsDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .foreach(p => Files.copy(p, os))
+    } finally os.close()
+    // drop the intermediate part files
+    Files.walk(partsDir).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
   }
 }

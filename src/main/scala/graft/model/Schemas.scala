@@ -88,6 +88,10 @@ final case class GraftConfig(
     hammingThreshold: Int = 16,    // graft: phash bit distance confirm (AND-side)
     minLcs: Int = 16,              // graft: suffix-array exact-match confirm
     saltShards: Int = 16,          // fixed salt fan-out inside hot buckets
+    usePhash: Boolean = true,      // false = text-only corpora (e.g. evyat DNA
+                                   // parity): no pHash bit n-grams in shingles
+    anchorAlphabet: String = "etaoinshrdlucmfwyp", // chunk-phase anchor draw;
+                                   // "ACGT" for DNA parity (ref :491)
     chunkRounds: Int = 8,          // fused common-substring rounds (ref: ≤64 adaptive)
     maxMacroRounds: Int = 0,       // 0 = adaptive (C6, ref :123-125,:602 scaled by L);
                                    // >0 = fixed budget + minWorkRate stop (tests)
