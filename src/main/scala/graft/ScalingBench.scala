@@ -33,6 +33,11 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.io.compression.codec", "zstd") // denser shuffle spill
+      // shuffle files of superseded stages are reclaimed by ContextCleaner
+      // only after the driver GCs their references — with a large heap that
+      // never happens on its own and scratch disk fills (~45 GB observed at
+      // 8M rows); force a driver GC every 2 min so dead shuffles are freed
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

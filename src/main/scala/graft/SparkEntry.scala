@@ -255,7 +255,8 @@ object SparkEntry {
       Similarity.lshTopK(s, e.where(col("vec_id") < 10), e, k = 5, dim = 64)
     }),
 
-    // ---- hash-internal dedup (rows-only; ScalaTest owns correctness) ----
+    // ---- hash-internal dedup (deterministic given seeds: sf0.01 histograms
+    // pinned as VALUES oracles; planted-truth semantics in DocDedupSpec) ----
     "dedup_minhash_lsh" -> ((s, dir) =>
       DocDedup.minhashLsh(s, docs(s, dir), GraftConfig(q = 5, bandRounds = 16), 0.92)
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
@@ -265,7 +266,10 @@ object SparkEntry {
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))),
 
-    // ---- multimodal plumbing (payload = utf-8 bytes of text; decode STUB) ----
+    // ---- multimodal plumbing (payload = utf-8 bytes of text; decode STUB).
+    // Oracle note (ADVICE r1): the DuckDB mirrors read characters via
+    // ascii/substr where Spark reads bytes — equivalent only because the
+    // documents fixture is ASCII; byte-exact for any input on the Spark side.
     "mm_payload_meta" -> ((s, dir) => {
       val payloads = docs(s, dir).select(col("doc_id"),
         col("text").cast("binary").as("payload"))
@@ -550,6 +554,26 @@ object SparkEntry {
           |  (octet_length(encode(text)) * i // 4)::BIGINT AS byte_offset,
           |  ascii(substr(text, (octet_length(encode(text)) * i // 4)::INT + 1, 1))::BIGINT AS byte_value
           |FROM documents, range(0, 4) t(i)""".stripMargin,
+
+      // ---- pinned oracles for hash-internal dedup + the flagship e2e ----
+      // These operators are deterministic given their seeds, so their
+      // sf0.01 outputs are pinned as literal expected tables: the driver's
+      // hash compare then enforces the exact cluster-size histograms (and
+      // recall/precision = 1.0, FP = 0 for the flagship) instead of a weak
+      // rows-only check. Semantic correctness (planted near-dup truth) is
+      // owned by DocDedupSpec / PipelineSpec; these rows pin regressions.
+      "dedup_minhash_lsh" ->
+        """SELECT sz::BIGINT AS sz, n_clusters::BIGINT AS n_clusters
+          |FROM (VALUES (1, 453), (2, 22), (3, 1)) t(sz, n_clusters)""".stripMargin,
+
+      "dedup_simhash" ->
+        """SELECT sz::BIGINT AS sz, n_clusters::BIGINT AS n_clusters
+          |FROM (VALUES (1, 457), (2, 17), (3, 3)) t(sz, n_clusters)""".stripMargin,
+
+      "pipeline_images_e2e" ->
+        """SELECT 566::BIGINT AS n, 60::BIGINT AS clusters, 4::BIGINT AS singles,
+          |  1.0::DOUBLE AS dup_pair_recall, 1.0::DOUBLE AS dup_pair_precision,
+          |  0::BIGINT AS false_positives""".stripMargin,
 
       "mm_payload_meta" ->
         """SELECT doc_id,
