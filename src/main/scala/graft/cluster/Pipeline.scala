@@ -95,10 +95,57 @@ object Pipeline {
       }
   }
 
+  /** Exact-duplicate collapse (round-2 scale fix). Web-scale corpora are
+    * duplicate-heavy, and every exact-duplicate row multiplies the L×n
+    * explode, the candidate set and the verification join for no
+    * information: rows sharing (caption, phash) are instead linked by
+    * salted identity chains — pairs that verify trivially (Dice 1, lev 0,
+    * hamming 0) — and only the min-row_id representative of each identity
+    * class enters candidate generation/verification. CC over
+    * identity ∪ verified edges restores full connectivity, so the output
+    * clustering is IDENTICAL to running on all rows (the reference merges
+    * identical strings through the same sort-adjacency chaining, `:639-641`;
+    * this hoists those merges out of the hot path). Exact string keys in
+    * the window — no hash, no collision risk.
+    *
+    * Returns (identity edges, representative row ids, duplicate count). */
+  private def collapseExactDups(features: DataFrame, saltShards: Int)
+      : (DataFrame, DataFrame, Long) = {
+    val salted = features.select(col("row_id"), col("caption"), col("phash"))
+      .withColumn("salt", pmod(xxhash64(col("row_id")), lit(saltShards)))
+    val wShard = Window.partitionBy("caption", "phash", "salt").orderBy("row_id")
+    val intra = salted
+      .select(col("row_id").as("y"), lag("row_id", 1).over(wShard).as("x"))
+      .where(col("x").isNotNull)
+    val shardMins = salted.groupBy("caption", "phash", "salt")
+      .agg(min("row_id").as("mn")) // map-side partial agg: tiny shuffle
+    val wInter = Window.partitionBy("caption", "phash").orderBy("salt", "mn")
+    val inter = shardMins
+      .withColumn("x", lag("mn", 1).over(wInter))
+      .where(col("x").isNotNull)
+      .select(col("x"), col("mn").as("y"))
+    val identity = intra.select("x", "y").unionAll(inter)
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+    val repIds = shardMins.groupBy("caption", "phash")
+      .agg(min("mn").as("row_id")).select("row_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDup = identity.count() // = n - |reps|; also materializes shard mins
+    (identity, repIds, nDup)
+  }
+
   /** Phases 2+3: chunk rounds + global banding + first CC pass. */
   def initialState(spark: SparkSession, features: DataFrame, cfg: GraftConfig,
                    n: Long, capLen: Int): (State, PhaseStat) = {
     val rows = features.select("row_id")
+
+    val (identityEdges, repIds, nDup) = collapseExactDups(features, cfg.saltShards)
+    // dup-free corpora skip the rep join entirely; otherwise the rep-id set
+    // (one Long per distinct row) is broadcast when it fits, so the feature
+    // relation is filtered without a shuffle
+    val repFeatures =
+      if (nDup == 0) features
+      else if (n - nDup <= 20000000L) features.join(broadcast(repIds), "row_id")
+      else features.join(repIds, "row_id")
 
     // 2+3. Chunk-phase substring rounds AND global LSH banding contribute
     // candidates; the union is verified ONCE at the final thresholds
@@ -106,12 +153,13 @@ object Pipeline {
     // 0.32/0.28 (:522), so any pair it accepts there is also accepted here —
     // fusing the two verify passes is monotone (recall-safe) and halves the
     // feature-join shuffles.
-    val chunkCand = ChunkPhase.candidatePairs(features, cfg, n, capLen)
-    val bandCand = Banding.candidatePairs(features, cfg, macroRound = 0)
+    val chunkCand = ChunkPhase.candidatePairs(repFeatures, cfg, n, capLen)
+    val bandCand = Banding.candidatePairs(repFeatures, cfg, macroRound = 0)
     val cand = chunkCand.unionAll(bandCand).distinct()
     val firstEdges = VerifyPairs.verify(
       cand, features, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
+      .unionAll(identityEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nVerified = firstEdges.count()
     val comps = ConnectedComponents.components(spark, firstEdges)
@@ -122,6 +170,7 @@ object Pipeline {
     val scores = endpointCounts(firstEdges).localCheckpoint()
     val (clusters, singles) = clusterStats(assign) // materializes assign
     firstEdges.unpersist()
+    repIds.unpersist()
     graft.util.Checkpoints.unpersistCheckpoint(comps) // assign supersedes it
     (State(assign, scores),
       PhaseStat("chunk+band", 0, -1L, nVerified, clusters, singles, 1.0))
