@@ -55,18 +55,20 @@ object ChunkPhase {
     captionCol.substr(start, lit(w + t))
   }
 
-  /** Fused candidate pairs from `chunkRounds` common-substring rounds.
-    * `features` needs (row_id, caption); `n` is the (approximate) corpus
-    * size and `capLen` a typical caption length — the reference derives
-    * w and t from exactly these (`:468-469,484-485`). */
-  def candidatePairs(features: DataFrame, cfg: GraftConfig, n: Long, capLen: Int): DataFrame = {
+  /** One hash column per common-substring round; `n` is the (approximate)
+    * corpus size and `capLen` a typical caption length — the reference
+    * derives w and t from exactly these (`:468-469,484-485`). Exposed so
+    * the pipeline can fuse these columns with the LSH band hashes into a
+    * single posexplode + chaining pass (one wide exchange for BOTH
+    * candidate families instead of two). */
+  def hashCols(cfg: GraftConfig, n: Long, capLen: Int): Seq[Column] = {
     val rounds = cfg.chunkRounds
     val w2 = math.max(math.ceil(math.log(math.max(capLen, 4)) / math.log(4)).toInt - 1, 1)
     val t2 = math.max(math.ceil(math.log(math.max(n, 4).toDouble) / math.log(4)).toInt - 1, w2)
     val w1 = w2 + 1
     val t1 = math.max(t2 + 1, w1)
 
-    val hashCols: Seq[Column] = (0 until rounds).map { r =>
+    (0 until rounds).map { r =>
       val rs = Hashing.hash3(cfg.seed, CHUNK_DOMAIN, r.toLong)
       if (r < (rounds + 1) / 2) {
         // two anchors, sorted pair (the reference's sorted multi-sig, :499)
@@ -80,10 +82,14 @@ object ChunkPhase {
         xxhash64(lit(r), cmnSubstr(col("caption"), a1, w1, t1))
       }
     }
+  }
 
+  /** Standalone fused candidate pairs from the chunk rounds (the pipeline
+    * fuses [[hashCols]] with the LSH bands instead). */
+  def candidatePairs(features: DataFrame, cfg: GraftConfig, n: Long, capLen: Int): DataFrame = {
     val buckets = features.select(
       col("row_id"),
-      posexplode(array(hashCols: _*)).as(Seq("band", "band_hash")))
+      posexplode(array(hashCols(cfg, n, capLen): _*)).as(Seq("band", "band_hash")))
     Banding.chainPairs(buckets, cfg.saltShards)
   }
 }

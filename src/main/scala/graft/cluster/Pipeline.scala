@@ -152,10 +152,17 @@ object Pipeline {
     // (:569-570). The reference verifies chunk-phase pairs at the stricter
     // 0.32/0.28 (:522), so any pair it accepts there is also accepted here —
     // fusing the two verify passes is monotone (recall-safe) and halves the
-    // feature-join shuffles.
-    val chunkCand = ChunkPhase.candidatePairs(repFeatures, cfg, n, capLen)
-    val bandCand = Banding.candidatePairs(repFeatures, cfg, macroRound = 0)
-    val cand = chunkCand.unionAll(bandCand).distinct()
+    // feature-join shuffles. Round-2: both candidate FAMILIES are fused
+    // into ONE posexplode + chaining pass as well (band positions 0..L-1
+    // are LSH rounds, L..L+chunkRounds-1 the substring rounds), so round 0
+    // plans a single wide exchange + a single pair-distinct for everything.
+    val allHashes = Banding.bandHashArray(col("minhash"), Banding.lanes(cfg, 0)) +:
+      ChunkPhase.hashCols(cfg, n, capLen)
+    val buckets = repFeatures.select(
+      col("row_id"),
+      posexplode(concat(allHashes.head, array(allHashes.tail: _*)))
+        .as(Seq("band", "band_hash")))
+    val cand = Banding.chainPairs(buckets, cfg.saltShards)
     val firstEdges = VerifyPairs.verify(
       cand, features, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
