@@ -138,7 +138,10 @@ object ScalingBench {
     if (args.length >= 1 && args(0) == "gen") {
       val spark = session(hi)
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS_MARKER"))) {
-        val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(groups = groups))
+        val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(
+          groups = groups,
+          fastPayload = sys.env.contains("SPARK_GRAFT_FAST_GEN"),
+          numParts = 64))
         TableIO.writeImages(SyntheticCorpus.imagesOf(gen), path, numParts = 64)
         java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$path/_SUCCESS_MARKER"))
       }

@@ -280,6 +280,19 @@ object SparkEntry {
           col("fake_h").cast("long").as("fake_h"))
     }),
 
+    // real-decode path: payloads sniffed by magic bytes; PNG/JPEG decode via
+    // javax.imageio (pixels → w/h/pHash), others degrade to the fake (these
+    // text payloads all take the degrade branch; the real branch is
+    // pixel-verified against the generator in MultimodalDecodeSpec)
+    "mm_decode_meta" -> ((s, dir) => {
+      val payloads = docs(s, dir).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.decodeMeta(s, payloads)
+        .select(col("doc_id"), col("fmt_detected"),
+          col("w").cast("long").as("w"), col("h").cast("long").as("h"),
+          col("phash"))
+    }),
+
     // frame-sampling analog: k deterministic byte offsets per payload
     "mm_frame_samples" -> ((s, dir) => {
       val payloads = docs(s, dir).select(col("doc_id"),
@@ -574,6 +587,13 @@ object SparkEntry {
         """SELECT 566::BIGINT AS n, 60::BIGINT AS clusters, 4::BIGINT AS singles,
           |  1.0::DOUBLE AS dup_pair_recall, 1.0::DOUBLE AS dup_pair_precision,
           |  0::BIGINT AS false_positives""".stripMargin,
+
+      "mm_decode_meta" ->
+        """SELECT doc_id, 'unknown' AS fmt_detected,
+          |  (1 + ascii(substr(text, 1, 1)) % 64)::BIGINT AS w,
+          |  (1 + ascii(substr(text, 2, 1)) % 64)::BIGINT AS h,
+          |  0::BIGINT AS phash
+          |FROM documents""".stripMargin,
 
       "mm_payload_meta" ->
         """SELECT doc_id,

@@ -37,7 +37,14 @@ object SyntheticCorpus {
       /** If > 0, group 0 has this many copies — the skew/mega-bucket fixture
         * (SURVEY.md §7.4.2). */
       megaGroupRows: Int = 0,
-      jpegFraction: Double = 0.3
+      jpegFraction: Double = 0.3,
+      /** Fast-payload mode for large scaling corpora: pHash is computed from
+        * the perturbed pixels directly (same texture, same noise model) and
+        * the encoded payload is replaced by a 1-byte placeholder — the
+        * pipeline prunes `bytes` from every scan, so only payload-fidelity
+        * fixtures need real encodings; this skips the imageio encode/decode
+        * that dominates generation cost (~80%). */
+      fastPayload: Boolean = false
   )
 
   private val WORDS: Array[String] = Array(
@@ -242,8 +249,15 @@ object SyntheticCorpus {
       val nEdits = boundedInt(hash2(cseed, 1L), cfg.maxEdits + 1)
       val cap = perturbCaption(caption, cseed, nEdits)
       val px = perturbPixels(basePx, cseed, 4)
-      val bytes = encode(px, w, h, fmt)
-      val ph = phashOf(decode(bytes))
+      val (bytes, ph) =
+        if (cfg.fastPayload) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, w, h, px, 0, w)
+          (Array[Byte](1), phashOf(img))
+        } else {
+          val enc = encode(px, w, h, fmt)
+          (enc, phashOf(decode(enc)))
+        }
       val id = s"img-$g-$c"
       GenRow(id, bytes, w, h, fmt, cap, ph, g, (stringHash(id) & 0x7FFFFFFF).toInt % cfg.numParts)
     }

@@ -35,6 +35,39 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class DecodedMeta(
+      doc_id: Long, fmt_detected: String, w: Int, h: Int, phash: Long)
+
+  /** REAL decode for the formats with a JVM codec: payloads are sniffed by
+    * magic bytes (PNG `89 50 4E 47`, JPEG `FF D8`) and decoded via
+    * javax.imageio inside batched mapPartitions — width/height/pHash come
+    * from actual pixels (the same decode+phash the corpus generator and the
+    * PSNR payload-fidelity check use). Unknown formats degrade to the
+    * deterministic fake with fmt_detected = "unknown" (the documented stub:
+    * no audio/video codec ships in this container; the Spark-side plumbing
+    * is identical for them). */
+  def decodeMeta(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val isPng = bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 &&
+            bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+          val isJpg = bytes.length > 2 && (bytes(0) & 0xFF) == 0xFF &&
+            (bytes(1) & 0xFF) == 0xD8
+          if (isPng || isJpg) {
+            val img = graft.gen.SyntheticCorpus.decode(bytes)
+            DecodedMeta(id, if (isPng) "png" else "jpg",
+              img.getWidth, img.getHeight, graft.gen.SyntheticCorpus.phashOf(img))
+          } else {
+            val b0 = if (bytes.nonEmpty) bytes(0) & 0xFF else 0
+            val b1 = if (bytes.length > 1) bytes(1) & 0xFF else 0
+            DecodedMeta(id, "unknown", 1 + b0 % 64, 1 + b1 % 64, 0L)
+          }
+        }
+      }.toDF()
+  }
+
   /** Frame-sampling analog: deterministic k byte-offsets per payload
     * (the video-frame sampler's plumbing, sampling bytes instead of frames). */
   def sampleOffsets(spark: SparkSession, payloads: DataFrame, k: Int): DataFrame = {
