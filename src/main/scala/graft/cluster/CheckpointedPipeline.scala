@@ -36,7 +36,7 @@ object CheckpointedPipeline {
     val (fDone, fTodo) = parts.partition(p => done.contains(s"features_$p"))
     fTodo.foreach { p =>
       val slice = spark.read.parquet(imagesPath).where(col("part_id") === p)
-      val feats = MinHash.featurize(spark, slice, cfg)
+      val feats = MinHash.featurize(spark, slice, cfg).toDF().drop("shingles")
       feats.write.mode("overwrite").parquet(s"$workDir/features/part_id=$p")
       val rows = spark.read.parquet(s"$workDir/features/part_id=$p").count()
       TableIO.writeEntry(workDir, TableIO.LedgerEntry(

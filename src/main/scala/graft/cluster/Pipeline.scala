@@ -164,7 +164,7 @@ object Pipeline {
         .as(Seq("band", "band_hash")))
     val cand = Banding.chainPairs(buckets, cfg.saltShards)
     val firstEdges = VerifyPairs.verify(
-      cand, features, cfg.sdHigh, cfg.sdLow,
+      cand, features, cfg.q, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
       .unionAll(identityEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -209,7 +209,7 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = Banding.candidatePairs(focusFeatures, cfg, macroRound = macroItr)
     val verified = VerifyPairs.verify(
-      cand, features, cfg.sdHigh, cfg.sdLow,
+      cand, features, cfg.q, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nVerified = verified.count()
@@ -291,7 +291,11 @@ object Pipeline {
 
   def run(spark: SparkSession, images: DataFrame, cfg: GraftConfig = GraftConfig()): Result = {
     // 1. Featurize -- bytes column pruned from the scan (SURVEY.md par.4).
+    // The shingle array is consumed inside featurize (minhash/simhash);
+    // verification recomputes caption grams at the verify site, so the
+    // cached relation carries ~10x less per row without it.
     val features = MinHash.featurize(spark, images, cfg).toDF()
+      .drop("shingles")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one job: materialize the cache AND collect (n, typical caption length)
     val meta = features.agg(count(lit(1)), max(length(col("caption")))).head()
