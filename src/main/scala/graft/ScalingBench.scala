@@ -29,9 +29,18 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", "64")
+      // 256 initial shuffle partitions + AQE coalescing, fixed for BOTH
+      // parallelism levels: large stages (the L×n explode/window) get small
+      // enough partitions to sort without heavy spill, while the tiny
+      // late-macro-round shuffles coalesce down instead of paying a
+      // 256-task barrier for a few thousand rows — exactly the config a
+      // real cluster job of either size would run. (Round-1 protocol pinned
+      // 64 partitions with coalescing OFF to keep task counts honest at toy
+      // scale; at 8M+ rows every stage has real work, so the concern is
+      // moot and the honest config is the production one.)
+      .config("spark.sql.shuffle.partitions", "256")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.io.compression.codec", "zstd") // denser shuffle spill
       // shuffle files of superseded stages are reclaimed by ContextCleaner
       // only after the driver GCs their references — with a large heap that

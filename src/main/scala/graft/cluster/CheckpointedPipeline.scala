@@ -45,6 +45,7 @@ object CheckpointedPipeline {
     }
     val features = spark.read.parquet(s"$workDir/features")
       .drop("part_id")
+      .repartition(col("row_id")) // join-aligned cache, as in Pipeline.run
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Same (n, capLen) aggregate as Pipeline.run — round 1 took capLen from
     // an arbitrary first row (partition-order dependent), so resumed and

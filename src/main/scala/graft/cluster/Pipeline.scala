@@ -294,8 +294,15 @@ object Pipeline {
     // The shingle array is consumed inside featurize (minhash/simhash);
     // verification recomputes caption grams at the verify site, so the
     // cached relation carries ~10x less per row without it.
+    // The cache is HASH-PARTITIONED ON row_id: every macro round joins this
+    // relation 4-6 times on row_id (verify sides, focus filter), and the
+    // cached partitioning propagates through the projections, so those
+    // joins shuffle only the (much smaller) pair side — profiled at 8M
+    // rows, the per-round full-corpus re-shuffles dominated macro-round
+    // cost at both parallelism levels.
     val features = MinHash.featurize(spark, images, cfg).toDF()
       .drop("shingles")
+      .repartition(col("row_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one job: materialize the cache AND collect (n, typical caption length)
     val meta = features.agg(count(lit(1)), max(length(col("caption")))).head()
