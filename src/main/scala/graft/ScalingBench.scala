@@ -17,11 +17,15 @@ import graft.model.GraftConfig
   * constant):
   *  - the corpus is GENERATED ONCE to partitioned parquet and both runs read
   *    the same files — fixture cost excluded, input bytes identical;
-  *  - `spark.sql.shuffle.partitions` is fixed (64) for both runs, as a
-  *    cluster config would be — only the executor-thread count varies;
-  *  - AQE partition coalescing is disabled so the scheduler cannot shrink
-  *    the task count below the high-parallelism level at this (small)
-  *    evidence scale; skew-join splitting stays on.
+  *  - the shuffle config is the PRODUCTION one and identical for both runs
+  *    (256 initial partitions + AQE coalescing on, zstd — rationale at the
+  *    config site below): only the executor-thread count varies. Round 1
+  *    pinned 64 partitions with coalescing OFF to keep task counts honest
+  *    at toy scale; at the 8M+ row scales measured since round 2 every
+  *    stage carries real work, so the honest config is the production one;
+  *  - one fresh JVM per data point (`single <cpus>` mode), low point
+  *    CPU-pinned, machine otherwise idle, best-of-N pairs on identical
+  *    code (protocol details in BENCH.md).
   */
 object ScalingBench {
 

@@ -248,11 +248,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("sim"),
           col("rk").cast("long").as("rk"))
     }),
-    // hash-internal (rows-only): LSH-bucketed ANN; recall vs brute force
-    // asserted in ScalaTest
+    // LSH-bucketed ANN — deterministic given its seeds, so the sf0.01
+    // (query, neighbor, rank) set is pinned as a VALUES oracle (VERDICT r2
+    // #4); the float sim column is dropped from the compared output (the
+    // driver's hash compare is exact and literal-vs-computed doubles can
+    // differ in the last ulp). Recall vs brute force is owned by ScalaTest.
     "sim_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(s, e.where(col("vec_id") < 10), e, k = 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rk").cast("long").as("rk"))
     }),
 
     // ---- hash-internal dedup (deterministic given seeds: sf0.01 histograms
@@ -582,6 +586,23 @@ object SparkEntry {
       "dedup_simhash" ->
         """SELECT sz::BIGINT AS sz, n_clusters::BIGINT AS n_clusters
           |FROM (VALUES (1, 457), (2, 17), (3, 3)) t(sz, n_clusters)""".stripMargin,
+
+      // sim_ann_lsh: deterministic given its hyperplane seeds — the sf0.01
+      // top-5 neighbor set per query, pinned like the dedup histograms.
+      "sim_ann_lsh" ->
+        ("""SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+          |  rk::BIGINT AS rk FROM (VALUES """.stripMargin +
+          "(0, 365, 1), (0, 334, 2), (0, 387, 3), (0, 423, 4), (0, 73, 5), " +
+          "(1, 386, 1), (1, 27, 2), (1, 407, 3), (1, 195, 4), (1, 64, 5), " +
+          "(2, 117, 1), (2, 450, 2), (2, 145, 3), (2, 188, 4), (2, 418, 5), " +
+          "(3, 130, 1), (3, 149, 2), (3, 343, 3), (3, 174, 4), (3, 231, 5), " +
+          "(4, 114, 1), (4, 496, 2), (4, 408, 3), (4, 482, 4), (4, 280, 5), " +
+          "(5, 404, 1), (5, 419, 2), (5, 157, 3), (5, 33, 4), (5, 359, 5), " +
+          "(6, 350, 1), (6, 430, 2), (6, 145, 3), (6, 437, 4), (6, 386, 5), " +
+          "(7, 340, 1), (7, 425, 2), (7, 209, 3), (7, 334, 4), (7, 381, 5), " +
+          "(8, 39, 1), (8, 138, 2), (8, 403, 3), (8, 497, 4), (8, 380, 5), " +
+          "(9, 49, 1), (9, 489, 2), (9, 414, 3), (9, 386, 4), (9, 107, 5)" +
+          ") t(query_id, neighbor_id, rk)"),
 
       "pipeline_images_e2e" ->
         """SELECT 566::BIGINT AS n, 60::BIGINT AS clusters, 4::BIGINT AS singles,

@@ -60,9 +60,13 @@ object CheckpointedPipeline {
     val roundsComputed = scala.collection.mutable.ArrayBuffer.empty[Int]
     val roundsSkipped = scala.collection.mutable.ArrayBuffer.empty[Int]
 
+    // The pass state is ONE relation (row_id, cluster_id, score); the small
+    // sizes side-relation is recomputed on load (one job over the loaded
+    // parquet). Ledger key = the pass's LAST macro round — pass boundaries
+    // are deterministic functions of (config, corpus), so a resumed run
+    // re-derives the same chunking and replays at most one torn pass.
     def saveState(st: Pipeline.State, r: Int, stat: Pipeline.PhaseStat, bad: Int): Unit = {
-      st.assign.write.mode("overwrite").parquet(s"$workDir/state/round=$r/assign")
-      st.scores.write.mode("overwrite").parquet(s"$workDir/state/round=$r/scores")
+      st.rel.write.mode("overwrite").parquet(s"$workDir/state/round=$r/rel")
       TableIO.writeEntry(workDir, TableIO.LedgerEntry(
         s"round_$r", "round", -1, stat.clusters,
         Map("singles" -> stat.singles.toString,
@@ -70,17 +74,23 @@ object CheckpointedPipeline {
             "workRate" -> stat.workRate.toString,
             "badRounds" -> bad.toString)))
     }
-    def loadState(r: Int): Pipeline.State = Pipeline.State(
-      spark.read.parquet(s"$workDir/state/round=$r/assign"),
-      spark.read.parquet(s"$workDir/state/round=$r/scores"))
-    def loadStat(r: Int): (Long, Double, Int) = {
-      // singles + workRate + bad-round count from the ledger (loop control)
+    def loadState(r: Int): Pipeline.State = {
+      val rel = spark.read.parquet(s"$workDir/state/round=$r/rel")
+        .repartition(col("row_id")) // restore the join-aligned partitioning
+        .localCheckpoint(false)
+      val sizes = rel.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .localCheckpoint()
+      Pipeline.State(rel, sizes)
+    }
+    def loadStat(r: Int): (Long, Long, Double, Int) = {
+      // clusters + singles + workRate + bad-round count (loop control)
       val txt = new String(java.nio.file.Files.readAllBytes(
         TableIO.ledgerDir(workDir).resolve(s"round_$r.json")))
+      val clusters = "\"rows\": (-?\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
       val singles = "\"singles\": \"(\\d+)\"".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
       val wr = "\"workRate\": \"([0-9.Ee+-]+)\"".r.findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(1.0)
       val bad = "\"badRounds\": \"(\\d+)\"".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
-      (singles, wr, bad)
+      (clusters, singles, wr, bad)
     }
 
     val doneRounds = TableIO.completedKeys(workDir)
@@ -89,6 +99,7 @@ object CheckpointedPipeline {
 
     val ctl = Pipeline.RoundControl(cfg, n)
     var st: Pipeline.State = null
+    var prevClusters = 0L
     var prevSingles = 0L
     var prevWorkRate = 1.0
     var bad = 0
@@ -98,9 +109,11 @@ object CheckpointedPipeline {
       saveState(s0, 0, stat0, bad = 0)
       roundsComputed += 0
       prevSingles = stat0.singles
+      prevClusters = stat0.clusters
     } else {
       st = loadState(lastDone)
-      val (singles, wr, b) = loadStat(lastDone)
+      val (clusters, singles, wr, b) = loadStat(lastDone)
+      prevClusters = clusters
       prevSingles = singles
       prevWorkRate = wr
       bad = b
@@ -113,18 +126,25 @@ object CheckpointedPipeline {
       else if (cfg.maxMacroRounds > 0) prevWorkRate < cfg.minWorkRate || prevSingles == 0
       else (bad >= ctl.allowedBadMacro && lastDone >= ctl.minMacro) || prevSingles == 0
     while (!done2 && macroItr <= ctl.maxMacro) {
-      val (st2, stat) = Pipeline.macroStep(spark, features, st, cfg, macroItr, prevSingles)
+      val t = ctl.passSize(macroItr, bad, prevClusters)
+      val rounds = macroItr until (macroItr + t)
+      val (st2, stat) = Pipeline.macroStep(spark, features, st, cfg, rounds,
+        prevClusters, prevSingles)
       st = st2; stats += stat
-      val (nbad, stop) = ctl.step(bad, macroItr, prevSingles, stat)
+      val (nbad, stop) = ctl.stepPass(bad, rounds, prevSingles, stat)
       bad = nbad
-      saveState(st2, macroItr, stat, bad)
-      roundsComputed += macroItr
+      saveState(st2, rounds.last, stat, bad)
+      roundsComputed += rounds.last
       done2 = stop || stat.singles == 0
       prevSingles = stat.singles
-      macroItr += 1
+      prevClusters = stat.clusters
+      macroItr += t
     }
 
-    (Pipeline.Result(st.assign, st.scores, features, stats.toSeq),
+    (Pipeline.Result(
+      st.rel.select("row_id", "cluster_id"),
+      st.rel.where(col("score") > 0).select("row_id", "score"),
+      features, stats.toSeq),
       ResumeReport(fTodo, fDone, roundsComputed.toSeq, roundsSkipped.toSeq.sorted))
   }
 }

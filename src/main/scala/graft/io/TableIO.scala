@@ -45,13 +45,19 @@ object TableIO {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Files.list/walk return AutoCloseable directory streams — always close
+    * them (ADVICE r2: leaked fds across repeated exports in a long-lived
+    * driver). */
+  private def withStream[A](s: java.util.stream.Stream[Path])(f: Iterator[Path] => A): A =
+    try f(s.iterator().asScala) finally s.close()
+
   def completedKeys(base: String): Set[String] = {
     val dir = ledgerDir(base)
     if (!Files.isDirectory(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
+    else withStream(Files.list(dir))(_
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(_.stripSuffix(".json")).toSet
+      .map(_.stripSuffix(".json")).toSet)
   }
 
   def dropEntry(base: String, key: String): Unit = {
@@ -71,11 +77,11 @@ object TableIO {
   /** Distinct part_id values present in a partitioned table — from the
     * directory listing (partition pruning metadata), not a data scan. */
   def listPartitions(spark: SparkSession, path: String): Seq[Int] =
-    Files.list(Paths.get(path)).iterator().asScala
+    withStream(Files.list(Paths.get(path)))(_
       .map(_.getFileName.toString)
       .filter(_.startsWith("part_id="))
       .map(_.stripPrefix("part_id=").toInt)
-      .toSeq.sorted
+      .toSeq.sorted)
 
   /** S2 — evyat-style text export
     * (`/root/reference/lsh_based_clustering.py:677-695`): per cluster a
@@ -110,13 +116,13 @@ object TableIO {
     val os = new java.io.BufferedOutputStream(
       Files.newOutputStream(Paths.get(outFile)))
     try {
-      Files.list(partsDir).iterator().asScala.toSeq
+      withStream(Files.list(partsDir))(_.toSeq)
         .filter(_.getFileName.toString.startsWith("part-"))
         .sortBy(_.getFileName.toString)
         .foreach(p => Files.copy(p, os))
     } finally os.close()
     // drop the intermediate part files
-    Files.walk(partsDir).iterator().asScala.toSeq.reverse
+    withStream(Files.walk(partsDir))(_.toSeq).reverse
       .foreach(Files.deleteIfExists(_))
   }
 }

@@ -55,13 +55,25 @@ object Multimodal {
             bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
           val isJpg = bytes.length > 2 && (bytes(0) & 0xFF) == 0xFF &&
             (bytes(1) & 0xFF) == 0xD8
+          val b0 = if (bytes.nonEmpty) bytes(0) & 0xFF else 0
+          val b1 = if (bytes.length > 1) bytes(1) & 0xFF else 0
           if (isPng || isJpg) {
-            val img = graft.gen.SyntheticCorpus.decode(bytes)
-            DecodedMeta(id, if (isPng) "png" else "jpg",
-              img.getWidth, img.getHeight, graft.gen.SyntheticCorpus.phashOf(img))
+            // Corrupt/truncated payloads can pass the magic sniff but fail
+            // the codec: ImageIO.read returns null or throws. Real-world
+            // corpora always contain some — degrade the ROW (fmt_detected =
+            // "corrupt", deterministic fake dims) instead of crashing the
+            // stage after task retries (ADVICE r2, medium).
+            val decoded =
+              try Option(graft.gen.SyntheticCorpus.decode(bytes))
+              catch { case _: Exception => None }
+            decoded match {
+              case Some(img) =>
+                DecodedMeta(id, if (isPng) "png" else "jpg",
+                  img.getWidth, img.getHeight, graft.gen.SyntheticCorpus.phashOf(img))
+              case None =>
+                DecodedMeta(id, "corrupt", 1 + b0 % 64, 1 + b1 % 64, 0L)
+            }
           } else {
-            val b0 = if (bytes.nonEmpty) bytes(0) & 0xFF else 0
-            val b1 = if (bytes.length > 1) bytes(1) & 0xFF else 0
             DecodedMeta(id, "unknown", 1 + b0 % 64, 1 + b1 % 64, 0L)
           }
         }

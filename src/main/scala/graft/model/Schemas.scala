@@ -79,12 +79,14 @@ final case class GraftConfig(
     m: Int = 40,
     bandRounds: Int = 32,          // L
     distanceThreshold: Int = 12,
-    sdHighChunk: Double = 0.32,    // :522
-    sdLowChunk: Double = 0.28,
+    // NOTE: the reference's stricter chunk-phase verify thresholds
+    // (0.32/0.28, ref :522) are intentionally NOT configured: the fused
+    // verify at sdHigh/sdLow (Pipeline.initialState) accepts a superset of
+    // what the chunk phase would, which is monotone/recall-safe — see the
+    // comment at the fused-verify site (VERDICT r2 #6 removed the dead knobs)
     sdHigh: Double = 0.25,         // :569
     sdLow: Double = 0.22,          // :570
     repsPerCluster: Int = 5,       // :110
-    repsPerChunk: Int = 3,         // :110
     hammingThreshold: Int = 16,    // graft: phash bit distance confirm (AND-side)
     minLcs: Int = 16,              // graft: suffix-array exact-match confirm
     saltShards: Int = 16,          // fixed salt fan-out inside hot buckets
@@ -95,6 +97,11 @@ final case class GraftConfig(
     chunkRounds: Int = 8,          // fused common-substring rounds (ref: ≤64 adaptive)
     maxMacroRounds: Int = 0,       // 0 = adaptive (C6, ref :123-125,:602 scaled by L);
                                    // >0 = fixed budget + minWorkRate stop (tests)
+    fusedBandRowCap: Long = 512000000L, // max exploded (row, band) rows per fused
+                                   // macro-round pass: passSize fuses T rounds only
+                                   // while T × L × |focus| stays under this, so a
+                                   // fused pass's wide exchange is bounded by the
+                                   // same volume as round 0's explode at any scale
     minWorkRate: Double = 0.005,   // :571 low_work_rate analog (explicit mode only)
     seed: Long = 42L
 )

@@ -21,10 +21,22 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Checkpoints {
 
   /** Free the persisted blocks of a localCheckpoint-ed DataFrame. No-op on
-    * plans that are not checkpoint roots. Non-blocking. */
-  def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _              => ()
+    * plans that are not checkpoint roots. Non-blocking.
+    *
+    * Guard (ADVICE r2): the plan must contain at most ONE checkpoint leaf.
+    * Every call site passes either the checkpointed DataFrame itself or a
+    * plan derived from exactly one checkpoint; a multi-leaf plan (e.g. a
+    * join of two live checkpointed relations) would silently free state the
+    * other relation still needs — lineage is truncated, so the next action
+    * on it would fail unrecoverably. Failing fast here turns that silent
+    * corruption into an immediate, attributable error. */
+  def unpersistCheckpoint(df: DataFrame): Unit = {
+    val leaves = df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: LogicalRDD => lr
     }
+    require(leaves.lengthCompare(1) <= 0,
+      s"unpersistCheckpoint called on a plan with ${leaves.length} checkpoint " +
+        "leaves — would free live state shared with another relation")
+    leaves.foreach(_.rdd.unpersist(blocking = false))
+  }
 }

@@ -43,6 +43,36 @@ class RoundControlSpec extends SparkSpec {
     assert(fixed.maxMacro == 3)
   }
 
+  test("pass fusion: passSize fuses to the next stop decision, bounded by explode volume") {
+    val ctl = Pipeline.RoundControl(GraftConfig(), 75009L)
+    // inside the min-rounds window nothing can stop the run -> fuse to the
+    // boundary, unless the fused explode volume cap bites first:
+    // 512e6 / (32 lanes * 75,009 focus rows) = 213 >= 10 remaining rounds
+    assert(ctl.passSize(macroItr = 1, bad = 0, focusEst = 75009L) == 10)
+    assert(ctl.passSize(macroItr = 7, bad = 0, focusEst = 75009L) == 4)
+    // a huge focus set caps the pass at one round (volume bound):
+    // 512e6 / (32 * 10^7) = 1
+    assert(ctl.passSize(macroItr = 1, bad = 0, focusEst = 10000000L) == 1)
+    // past min rounds the pass may not overshoot the bad-round patience
+    val big = Pipeline.RoundControl(GraftConfig(), 16000000L)
+    assert(big.minMacro == 10 && big.allowedBadMacro == 1)
+    assert(big.passSize(macroItr = 11, bad = 0, focusEst = 1000L) == 1)
+    // explicit fixed-budget mode never fuses (per-round work-rate stop)
+    val fixed = Pipeline.RoundControl(GraftConfig(maxMacroRounds = 8), 75009L)
+    assert(fixed.passSize(macroItr = 1, bad = 0, focusEst = 100L) == 1)
+
+    // stepPass: a T-round pass resolving <= T*work_in_bad counts as T bad
+    // rounds; resolving more resets the counter (recall-safe patience)
+    val (bad1, stop1) = ctl.stepPass(bad = 0, rounds = 1 to 10,
+      prevSingles = 75009L, stat = Pipeline.PhaseStat("final", 10, -1L, 0L,
+        1000L, 75009L - 10 * ctl.workInBadMacro, 0.0))
+    assert(bad1 == 10 && stop1) // >= allowedBad(5) at/after minMacro(10)
+    val (bad2, stop2) = ctl.stepPass(bad = 0, rounds = 1 to 10,
+      prevSingles = 75009L, stat = Pipeline.PhaseStat("final", 10, -1L, 0L,
+        1000L, 75009L - 10 * ctl.workInBadMacro - 1, 0.0))
+    assert(bad2 == 0 && !stop2)
+  }
+
   test("adversarial low-overlap corpus: adaptive budget beats the fixed work-rate-stopped budget") {
     // DNA-shaped corpus of 2-member groups REJECTION-SAMPLED into a tight
     // similarity window: each pair's Sorensen-Dice (the engine's own verify
