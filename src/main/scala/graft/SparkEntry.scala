@@ -253,9 +253,15 @@ object SparkEntry {
     // #4); the float sim column is dropped from the compared output (the
     // driver's hash compare is exact and literal-vs-computed doubles can
     // differ in the last ulp). Recall vs brute force is owned by ScalaTest.
+    // nPlanes is passed explicitly: autoPlanes(n) = 4 for every n ≤ 8192,
+    // which covers BOTH driver fixtures (sf0.01: 500 vectors, sf0.1: 2000),
+    // so this is behavior-identical to the autoPlanes default while skipping
+    // its per-call corpus count() job (VERDICT r3 #6). The pinned VALUES
+    // oracle below is coupled to exactly this plane count.
     "sim_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshTopK(s, e.where(col("vec_id") < 10), e, k = 5, dim = 64)
+      Similarity.lshTopK(s, e.where(col("vec_id") < 10), e, k = 5, dim = 64,
+        nPlanes = Similarity.autoPlanes(8192))
         .select(col("query_id"), col("neighbor_id"), col("rk").cast("long").as("rk"))
     }),
 
@@ -589,6 +595,9 @@ object SparkEntry {
 
       // sim_ann_lsh: deterministic given its hyperplane seeds — the sf0.01
       // top-5 neighbor set per query, pinned like the dedup histograms.
+      // COUPLED to nPlanes = 4 (= autoPlanes for any corpus ≤ 8192 vectors,
+      // passed explicitly in the query above): changing the plane count or
+      // the fixture size invalidates these rows.
       "sim_ann_lsh" ->
         ("""SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
           |  rk::BIGINT AS rk FROM (VALUES """.stripMargin +

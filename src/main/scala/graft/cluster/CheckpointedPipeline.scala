@@ -83,14 +83,15 @@ object CheckpointedPipeline {
       Pipeline.State(rel, sizes)
     }
     def loadStat(r: Int): (Long, Long, Double, Int) = {
-      // clusters + singles + workRate + bad-round count (loop control)
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        TableIO.ledgerDir(workDir).resolve(s"round_$r.json")))
-      val clusters = "\"rows\": (-?\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-      val singles = "\"singles\": \"(\\d+)\"".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-      val wr = "\"workRate\": \"([0-9.Ee+-]+)\"".r.findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(1.0)
-      val bad = "\"badRounds\": \"(\\d+)\"".r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
-      (clusters, singles, wr, bad)
+      // clusters + singles + workRate + bad-round count (loop control) via
+      // the structured ledger reader — a missing/malformed field aborts the
+      // resume instead of silently defaulting loop state (ADVICE r3)
+      val e = TableIO.readEntry(workDir, s"round_$r")
+      def metric(k: String): String = e.metrics.getOrElse(k,
+        throw new IllegalStateException(
+          s"ledger round_$r is missing required metric \"$k\" — format drift; refusing to resume"))
+      (e.rows, metric("singles").toLong, metric("workRate").toDouble,
+        metric("badRounds").toInt)
     }
 
     val doneRounds = TableIO.completedKeys(workDir)

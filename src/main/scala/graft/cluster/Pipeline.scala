@@ -189,7 +189,14 @@ object Pipeline {
     * as a LongHashedRelation) the hint would bypass Spark's broadcast-size
     * safety and OOM the driver/executors, so we fall back to a shuffle join
     * (ADVICE r2). */
-  private val RepBroadcastMaxRows = 4000000L
+  private[graft] val RepBroadcastMaxRows = 4000000L
+
+  /** The per-pass score-delta relation holds one row per DISTINCT verified-
+    * pair endpoint — at most 2·nVerified rows — so it may ride a broadcast
+    * hint only when that bound stays within [[RepBroadcastMaxRows]]
+    * (VERDICT r3 #3: the round-3 gate allowed up to 4× the documented cap). */
+  private[graft] def deltasBroadcastable(nVerified: Long): Boolean =
+    2L * nVerified <= RepBroadcastMaxRows
 
   /** Phases 2+3: chunk rounds + global banding + first CC pass. */
   def initialState(spark: SparkSession, features: DataFrame, cfg: GraftConfig,
@@ -283,10 +290,14 @@ object Pipeline {
     // per round so buckets never mix across rounds. The union feeds ONE
     // salted chaining pass — the same candidate draws a sequential run of
     // these rounds would make (modulo focus refresh between rounds, which
-    // fusion trades for a T× cut in stage-barrier latency; reps are ranked
-    // by pass-start scores). Divergence is recall-safe: unmerged rows stay
-    // in focus all pass, so fusion only ever samples a superset of each
-    // round's unresolved rows.
+    // fusion trades for a T× cut in stage-barrier latency). Rep draws CAN
+    // diverge from the sequential schedule: ranks use pass-start scores and
+    // pass-start membership, so a row that would become a rep only after an
+    // intra-pass merge or score update is not sampled this pass. Only the
+    // singles side is a guaranteed superset of each fused round's unresolved
+    // rows — "recall-safe" is an approximation that has held at every
+    // measured scale, not an invariant (ADVICE r3; watch recall if
+    // fusedBandRowCap ever allows very wide passes on skewed corpora).
     val buckets = rounds.zipWithIndex.map { case (j, idx) =>
       val rkJ = (j - 1) % cfg.repsPerCluster + 1
       val f = focusFeatures.where(col("rk") === 0 || col("rk") === rkJ)
@@ -359,7 +370,7 @@ object Pipeline {
       // delta; an unbounded hint bypasses Spark's broadcast safety (ADVICE)
       val remapJ = if (remapIsSmall) broadcast(remap) else remap
       val deltas = endpointCounts(verified).withColumnRenamed("score", "delta")
-      val deltasJ = if (nVerified <= 2 * RepBroadcastMaxRows) broadcast(deltas) else deltas
+      val deltasJ = if (deltasBroadcastable(nVerified)) broadcast(deltas) else deltas
 
       val rel = st.rel
         .join(remapJ, Seq("cluster_id"), "left")
@@ -445,6 +456,10 @@ object Pipeline {
 
     Result(
       st.rel.select("row_id", "cluster_id"),
+      // A6 divergence (documented at the zero-work branch in macroStep): a
+      // row whose only verified pairs occur in merge-free passes keeps
+      // score 0 and is absent here — downstream consumers get a slightly
+      // sparser scores relation than a sequential per-round run would emit.
       st.rel.where(col("score") > 0).select("row_id", "score"),
       features, stats.toSeq)
   }

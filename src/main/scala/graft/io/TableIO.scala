@@ -65,6 +65,79 @@ object TableIO {
     Files.deleteIfExists(f)
   }
 
+  /** Strict inverse of [[writeEntry]] (ADVICE r3): resume-control state must
+    * come from a structured parse that FAILS LOUDLY on format drift, never
+    * from regex scraping with silent defaults — a ledger written by a
+    * different format should abort the resume, not replay it with wrong
+    * pass sizing. Only the escapes [[q]] emits are accepted. */
+  def readEntry(base: String, key: String): LedgerEntry = {
+    val f = ledgerDir(base).resolve(s"$key.json")
+    val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalStateException(s"ledger entry $f: $msg (at offset $i)")
+    def ws(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws(); if (i >= json.length || json(i) != c) fail(s"expected '$c'"); i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < json.length && json(i) != '"') {
+        json(i) match {
+          case '\\' =>
+            if (i + 1 >= json.length) fail("truncated escape")
+            json(i + 1) match {
+              case '"' => sb += '"'; i += 2
+              case '\\' => sb += '\\'; i += 2
+              case 'u' =>
+                if (i + 6 > json.length) fail("truncated \\u escape")
+                sb += Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case c => fail(s"unsupported escape \\$c")
+            }
+          case c => sb += c; i += 1
+        }
+      }
+      expect('"')
+      sb.toString
+    }
+    def long(): Long = {
+      ws()
+      val start = i
+      if (i < json.length && json(i) == '-') i += 1
+      while (i < json.length && json(i).isDigit) i += 1
+      if (i == start) fail("expected integer")
+      json.substring(start, i).toLong
+    }
+    def field(name: String): Unit = {
+      val got = str()
+      if (got != name) fail(s"expected field \"$name\", got \"$got\"")
+      expect(':')
+    }
+    expect('{')
+    field("key"); val k = str(); expect(',')
+    field("stage"); val stage = str(); expect(',')
+    field("partition"); val part = long(); expect(',')
+    field("rows"); val rows = long(); expect(',')
+    field("metrics"); expect('{')
+    val metrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    ws()
+    if (i < json.length && json(i) != '}') {
+      var more = true
+      while (more) {
+        val mk = str(); expect(':'); metrics(mk) = str()
+        ws()
+        if (i < json.length && json(i) == ',') { i += 1; more = true } else more = false
+      }
+    }
+    expect('}'); expect('}')
+    ws()
+    if (i != json.length) fail("trailing content")
+    if (k != key) fail(s"key mismatch: file says \"$k\"")
+    LedgerEntry(k, stage, part.toInt, rows, metrics.toMap)
+  }
+
   /** Write the images table in the Iceberg-emulating layout. */
   def writeImages(images: DataFrame, path: String, numParts: Int): Unit =
     images

@@ -70,6 +70,25 @@ class ResumeSpec extends SparkSpec {
     assert(txt.contains("\"config_seed\": \"7\""))
   }
 
+  test("structured ledger reader round-trips writeEntry and fails loudly on drift") {
+    val base = Files.createTempDirectory("graft_ledger_rt").toString
+    val e = TableIO.LedgerEntry("round_3", "round", -1, 42L,
+      Map("singles" -> "7", "workRate" -> "0.125", "badRounds" -> "2",
+          "weird \"quoted\"\\key" -> "tab\there"))
+    TableIO.writeEntry(base, e)
+    assert(TableIO.readEntry(base, "round_3") == e)
+
+    // format drift must ABORT, never silently default resume-control state
+    // (ADVICE r3: regex scraping resumed with wrong pass sizing)
+    val f = TableIO.ledgerDir(base).resolve("round_3.json")
+    val drifted = new String(Files.readAllBytes(f))
+      .replace("\"rows\"", "\"row_count\"")
+    Files.write(f, drifted.getBytes)
+    intercept[IllegalStateException] { TableIO.readEntry(base, "round_3") }
+    Files.write(f, "{\"key\": \"round_3\"".getBytes) // torn write
+    intercept[IllegalStateException] { TableIO.readEntry(base, "round_3") }
+  }
+
   test("S2 evyat-style export writes majority rep + sorted members") {
     val df = Seq(
       (1L, "b-read", "orig1"), (1L, "a-read", "orig1"), (1L, "c-read", "orig2"),

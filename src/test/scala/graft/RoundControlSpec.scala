@@ -73,6 +73,18 @@ class RoundControlSpec extends SparkSpec {
     assert(bad2 == 0 && !stop2)
   }
 
+  test("score-delta broadcast gate bounds the hinted relation, not the pair count") {
+    // deltas has ≤ 2·nVerified rows; the hint must respect the documented
+    // 4M-row broadcast cap on the RELATION (VERDICT r3 #3 — the old gate
+    // `nVerified <= 2*cap` allowed a 16M-row broadcast)
+    val cap = Pipeline.RepBroadcastMaxRows
+    assert(Pipeline.deltasBroadcastable(0L))
+    assert(Pipeline.deltasBroadcastable(cap / 2))       // 2·nV == cap: at the bound
+    assert(!Pipeline.deltasBroadcastable(cap / 2 + 1))  // one pair over: shuffle join
+    assert(!Pipeline.deltasBroadcastable(cap))          // old gate's region: rejected
+    assert(!Pipeline.deltasBroadcastable(2 * cap))
+  }
+
   test("adversarial low-overlap corpus: adaptive budget beats the fixed work-rate-stopped budget") {
     // DNA-shaped corpus of 2-member groups REJECTION-SAMPLED into a tight
     // similarity window: each pair's Sorensen-Dice (the engine's own verify
