@@ -33,7 +33,6 @@ object SparkEntry {
   private def docBuckets(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id").as("row_id"),
-      lit(0).as("band"),
       xxhash64(col("lang"), pmod(col("n_chars"), lit(20))).as("band_hash"))
 
   /** V4 chain pairs over the doc buckets (saltShards=1 ⇒ plain adjacency

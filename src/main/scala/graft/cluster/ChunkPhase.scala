@@ -68,6 +68,9 @@ object ChunkPhase {
     val w1 = w2 + 1
     val t1 = math.max(t2 + 1, w1)
 
+    // The round seed `rs` is folded INTO the hash (round-4 shuffle diet):
+    // it domain-separates chunk-round buckets from each other and from the
+    // LSH band buckets, so the exploded relation needs no band column.
     (0 until rounds).map { r =>
       val rs = Hashing.hash3(cfg.seed, CHUNK_DOMAIN, r.toLong)
       if (r < (rounds + 1) / 2) {
@@ -76,10 +79,10 @@ object ChunkPhase {
         val a2 = anchor(cfg.anchorAlphabet, Hashing.hash2(rs, 2L), w2)
         val s1 = cmnSubstr(col("caption"), a1, w2, t2)
         val s2 = cmnSubstr(col("caption"), a2, w2, t2)
-        xxhash64(lit(r), array_join(array_sort(array(s1, s2)), ""))
+        xxhash64(lit(rs), array_join(array_sort(array(s1, s2)), ""))
       } else {
         val a1 = anchor(cfg.anchorAlphabet, Hashing.hash2(rs, 1L), w1)
-        xxhash64(lit(r), cmnSubstr(col("caption"), a1, w1, t1))
+        xxhash64(lit(rs), cmnSubstr(col("caption"), a1, w1, t1))
       }
     }
   }
@@ -89,7 +92,7 @@ object ChunkPhase {
   def candidatePairs(features: DataFrame, cfg: GraftConfig, n: Long, capLen: Int): DataFrame = {
     val buckets = features.select(
       col("row_id"),
-      posexplode(array(hashCols(cfg, n, capLen): _*)).as(Seq("band", "band_hash")))
+      explode(array(hashCols(cfg, n, capLen): _*)).as("band_hash"))
     Banding.chainPairs(buckets, cfg.saltShards)
   }
 }

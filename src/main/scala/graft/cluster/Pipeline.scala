@@ -165,8 +165,9 @@ object Pipeline {
       .withColumn("salt", pmod(xxhash64(col("row_id")), lit(saltShards)))
     val wShard = Window.partitionBy("caption", "phash", "salt").orderBy("row_id")
     val intra = salted
-      .select(col("row_id").as("y"), lag("row_id", 1).over(wShard).as("x"))
+      .withColumn("x", lag("row_id", 1).over(wShard))
       .where(col("x").isNotNull)
+      .select(col("x"), col("row_id").as("y"))
     val shardMins = salted.groupBy("caption", "phash", "salt")
       .agg(min("row_id").as("mn")) // map-side partial agg: tiny shuffle
     val wInter = Window.partitionBy("caption", "phash").orderBy("salt", "mn")
@@ -222,12 +223,14 @@ object Pipeline {
     // well (band positions 0..L-1 are LSH rounds, L..L+chunkRounds-1 the
     // substring rounds), so round 0 plans a single wide exchange + a single
     // pair-distinct for everything.
-    val allHashes = Banding.bandHashArray(col("minhash"), Banding.lanes(cfg, 0)) +:
+    // Round-4 shuffle diet (VERDICT r3 #1): the exploded relation is just
+    // (row_id, band_hash) — per-round seeds live inside the hashes, so the
+    // band int the round-3 plan carried through this wide exchange is gone.
+    val allHashes = Banding.bandHashArray(col("minhash"), cfg, 0) +:
       ChunkPhase.hashCols(cfg, n, capLen)
     val buckets = repFeatures.select(
       col("row_id"),
-      posexplode(concat(allHashes.head, array(allHashes.tail: _*)))
-        .as(Seq("band", "band_hash")))
+      explode(concat(allHashes.head, array(allHashes.tail: _*))).as("band_hash"))
     val cand = Banding.chainPairs(buckets, cfg.saltShards)
     val firstEdges = VerifyPairs.verify(
       cand, features, cfg.q, cfg.sdHigh, cfg.sdLow,
@@ -298,13 +301,12 @@ object Pipeline {
     // rows — "recall-safe" is an approximation that has held at every
     // measured scale, not an invariant (ADVICE r3; watch recall if
     // fusedBandRowCap ever allows very wide passes on skewed corpora).
-    val buckets = rounds.zipWithIndex.map { case (j, idx) =>
+    val buckets = rounds.map { j =>
       val rkJ = (j - 1) % cfg.repsPerCluster + 1
       val f = focusFeatures.where(col("rk") === 0 || col("rk") === rkJ)
-      Banding.explodeBands(f, Banding.lanes(cfg, j))
-        .select(col("row_id"),
-          (col("band") + lit(idx * cfg.bandRounds)).as("band"),
-          col("band_hash"))
+      // per-(macro round, band) seeds inside the hash keep buckets disjoint
+      // across the fused rounds — no band-id offset column needed (round 4)
+      Banding.explodeBands(f, cfg, j)
     }.reduce(_ unionAll _)
     val cand = Banding.chainPairs(buckets, cfg.saltShards)
     val verified = VerifyPairs.verify(

@@ -95,7 +95,7 @@ object DocDedup {
 
     // b-1 chained edges per identical sketch value (all hamming 0).
     val valueChains = Banding.chainPairs(
-      sims.select(col("row_id"), lit(0).as("band"), col("simhash").as("band_hash")),
+      sims.select(col("row_id"), col("simhash").as("band_hash")),
       saltShards = 16)
 
     val reps = sims.groupBy("simhash").agg(min("row_id").as("row_id"))

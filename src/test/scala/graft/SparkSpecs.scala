@@ -67,10 +67,10 @@ class BandingSpec extends SparkSpec {
   test("V4 chaining: a bucket of b rows emits a spanning chain of b-1 pairs") {
     // 3 buckets: sizes 1, 5, 40 — the size-40 one spreads over all salt shards
     val rows =
-      (0 until 1).map(i => (100L + i, 0, 111L)) ++
-      (0 until 5).map(i => (200L + i, 0, 222L)) ++
-      (0 until 40).map(i => (300L + i, 0, 333L))
-    val buckets = rows.toDF("row_id", "band", "band_hash")
+      (0 until 1).map(i => (100L + i, 111L)) ++
+      (0 until 5).map(i => (200L + i, 222L)) ++
+      (0 until 40).map(i => (300L + i, 333L))
+    val buckets = rows.toDF("row_id", "band_hash")
     val pairs = Banding.chainPairs(buckets, saltShards = 16)
       .as[(Long, Long)].collect().toSeq
     assert(pairs.size == 0 + 4 + 39, s"got ${pairs.size} pairs")
