@@ -56,7 +56,8 @@ object ScalingBench {
       // only after the driver GCs their references — with a large heap that
       // never happens on its own and scratch disk fills (~45 GB observed at
       // 8M rows); force a driver GC every 2 min so dead shuffles are freed
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -68,12 +69,16 @@ object ScalingBench {
     * a stage is barrier-bound (few/short tasks) or compute-bound. */
   private final class StageProfiler extends org.apache.spark.scheduler.SparkListener {
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int, Long, Long)]
+    var shuffleWrite = 0L
+    var spill = 0L
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val i = sc.stageInfo
       val dur = (for { s <- i.submissionTime; e <- i.completionTime } yield e - s).getOrElse(-1L)
       rows += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), dur,
         i.numTasks, i.taskMetrics.executorRunTime, i.taskMetrics.jvmGCTime))
+      shuffleWrite += i.taskMetrics.shuffleWriteMetrics.bytesWritten
+      spill += i.taskMetrics.diskBytesSpilled
     }
     def report(topN: Int = 25): Unit = {
       System.err.println("[stages] top by wall duration:")
@@ -89,6 +94,7 @@ object ScalingBench {
       // pays. Reported alongside the efficiency pair in BENCH.md.
       val gc = rows.map(_._6).sum / 1000.0
       System.err.println(f"[stages] total stage-wall=$wall%.1fs total task-time=$task%.1fs gc-time=$gc%.1fs stages=${rows.size}")
+      System.err.println(f"[stages] total shuffle-write=${shuffleWrite / 1e9}%.2fGB disk-spill=${spill / 1e9}%.2fGB")
     }
   }
 
@@ -100,8 +106,15 @@ object ScalingBench {
     if (warm) { // tiny warm-up: JIT + codegen caches, not reported
       Pipeline.run(spark, images.limit(5000), GraftConfig(seed = 7L)).assign.count()
     }
+    // disk-envelope knobs for the largest corpora: round-0 batch count and
+    // the fused-pass volume cap bound the in-flight scratch of any single
+    // query (see Pipeline.initialState / GraftConfig)
+    val cfgRun = GraftConfig(seed = 7L,
+      round0Batches = sys.env.getOrElse("SPARK_GRAFT_R0_BATCHES", "1").toInt,
+      fusedBandRowCap = sys.env.getOrElse("SPARK_GRAFT_FUSED_CAP",
+        GraftConfig().fusedBandRowCap.toString).toLong)
     val t0 = System.nanoTime()
-    val res = Pipeline.run(spark, images, GraftConfig(seed = 7L))
+    val res = Pipeline.run(spark, images, cfgRun)
     val n = res.assign.count()
     val sec = (System.nanoTime() - t0) / 1e9
     res.stats.foreach(s => System.err.println(
@@ -110,6 +123,13 @@ object ScalingBench {
     // Quality at scale (outside the timing): truth group is encoded in the
     // generator's image_id ("img-<group>-<copy>[_r<replica>]"), so recall is
     // measurable on any generated or replicated corpus.
+    // the timed run is over: drop the features cache and retire every
+    // remaining shuffle so the (unmeasured) recall evaluation below does
+    // not stack its own shuffles on the tail's files — at 16M rows that
+    // stacking alone would overrun the sandbox disk
+    res.features.unpersist()
+    org.apache.spark.graft.ShuffleRetirement
+      .retireAllExcept(spark.sparkContext, Set.empty)
     import org.apache.spark.sql.functions._
     val truth = images.select(
       graft.feat.RowIds.rowIdCol(col("image_id")).as("row_id"),

@@ -77,7 +77,7 @@ object CheckpointedPipeline {
     def loadState(r: Int): Pipeline.State = {
       val rel = spark.read.parquet(s"$workDir/state/round=$r/rel")
         .repartition(col("row_id")) // restore the join-aligned partitioning
-        .localCheckpoint(false)
+        .localCheckpoint()          // eager: truncate before any retirement
       val sizes = rel.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .localCheckpoint()
       Pipeline.State(rel, sizes)
@@ -98,6 +98,15 @@ object CheckpointedPipeline {
       .filter(_.startsWith("round_")).map(_.stripPrefix("round_").toInt)
     val lastDone = if (doneRounds.isEmpty) -1 else doneRounds.max
 
+    val keepShuffles: Set[Int] =
+      if (cfg.retireShuffles)
+        org.apache.spark.graft.ShuffleRetirement.liveIds(spark.sparkContext)
+      else Set.empty
+    def retire(): Unit = if (cfg.retireShuffles) {
+      org.apache.spark.graft.ShuffleRetirement
+        .retireAllExcept(spark.sparkContext, keepShuffles); ()
+    }
+
     val ctl = Pipeline.RoundControl(cfg, n)
     var st: Pipeline.State = null
     var prevClusters = 0L
@@ -105,7 +114,7 @@ object CheckpointedPipeline {
     var prevWorkRate = 1.0
     var bad = 0
     if (lastDone < 0) {
-      val (s0, stat0) = Pipeline.initialState(spark, features, cfg, n, capLen)
+      val (s0, stat0) = Pipeline.initialState(spark, features, cfg, n, capLen, retire)
       st = s0; stats += stat0
       saveState(s0, 0, stat0, bad = 0)
       roundsComputed += 0
@@ -129,12 +138,16 @@ object CheckpointedPipeline {
     while (!done2 && macroItr <= ctl.maxMacro) {
       val t = ctl.passSize(macroItr, bad, prevClusters)
       val rounds = macroItr until (macroItr + t)
-      val (st2, stat) = Pipeline.macroStep(spark, features, st, cfg, rounds,
-        prevClusters, prevSingles)
+      val (st2, stat) = Pipeline.withSmallPassConf(spark,
+        prevClusters <= cfg.smallPassFocusRows) {
+        Pipeline.macroStep(spark, features, st, cfg, rounds,
+          prevClusters, prevSingles, retire)
+      }
       st = st2; stats += stat
       val (nbad, stop) = ctl.stepPass(bad, rounds, prevSingles, stat)
       bad = nbad
       saveState(st2, rounds.last, stat, bad)
+      retire()
       roundsComputed += rounds.last
       done2 = stop || stat.singles == 0
       prevSingles = stat.singles

@@ -51,14 +51,20 @@ object Banding {
   def lanes(cfg: GraftConfig, macroRound: Int): Array[Array[Int]] =
     laneSeeds(cfg, macroRound).map(Hashing.sampleIndices(_, cfg.m, cfg.k))
 
-  /** Column of L globally-keyed band hashes for a `minhash` array column:
-    * hash r = xxhash64(seed_r, minhash[lanes_r]). */
-  def bandHashArray(minhashCol: Column, cfg: GraftConfig, macroRound: Int): Column = {
-    val seeds = laneSeeds(cfg, macroRound)
-    array(seeds.zip(lanes(cfg, macroRound)).map { case (seed, ls) =>
+  /** One globally-keyed band-hash column per round, for a `minhash` array
+    * column: hash r = xxhash64(seed_r, minhash[lanes_r]). Exposed as
+    * individual columns so callers can BATCH the explode over subsets of
+    * rounds (bounding the in-flight shuffle footprint of one query —
+    * buckets live entirely within one round's hash, so batching never
+    * splits a bucket and the emitted chain-pair set is identical). */
+  def bandHashCols(minhashCol: Column, cfg: GraftConfig, macroRound: Int): Seq[Column] =
+    laneSeeds(cfg, macroRound).zip(lanes(cfg, macroRound)).toSeq.map { case (seed, ls) =>
       xxhash64((lit(seed) +: ls.map(i => minhashCol.getItem(i))): _*)
-    }: _*)
-  }
+    }
+
+  /** Column of L globally-keyed band hashes for a `minhash` array column. */
+  def bandHashArray(minhashCol: Column, cfg: GraftConfig, macroRound: Int): Column =
+    array(bandHashCols(minhashCol, cfg, macroRound): _*)
 
   /** Exploded (row_id, band_hash) relation for the fused L rounds of one
     * macro iteration. `df` must have `row_id` and `minhash` columns. */

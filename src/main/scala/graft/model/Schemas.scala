@@ -103,5 +103,24 @@ final case class GraftConfig(
                                    // fused pass's wide exchange is bounded by the
                                    // same volume as round 0's explode at any scale
     minWorkRate: Double = 0.005,   // :571 low_work_rate analog (explicit mode only)
+    round0Batches: Int = 1,        // split the round-0 explode/verify into
+                                   // this many sequentially-retired queries:
+                                   // per-bucket chains are identical (a
+                                   // bucket never spans batches), so the
+                                   // edge set is unchanged; in-flight
+                                   // shuffle scratch divides by ~batches.
+                                   // Tune to the executor-disk budget; >1
+                                   // only pays at the 10M+-row scales where
+                                   // one query's intermediates outgrow disk
+    retireShuffles: Boolean = true, // retire provably-dead shuffle files at
+                                   // pass boundaries (GC-driven reclamation
+                                   // measured to never fire mid-run; peak
+                                   // scratch = CUMULATIVE shuffle bytes
+                                   // without this — see ShuffleRetirement)
+    smallPassFocusRows: Long = 100000, // focus sets below this run with AQE off
+                                   // and few shuffle partitions: per-stage
+                                   // adaptive replanning dominates tiny-pass
+                                   // wall (the ~91 s core-count-invariant
+                                   // residual pass, VERDICT r3 #2)
     seed: Long = 42L
 )

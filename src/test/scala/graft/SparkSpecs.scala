@@ -169,6 +169,22 @@ class PipelineSpec extends SparkSpec {
     assert(p1 == p2, "clustering changed under repartitioning")
     gen.unpersist()
   }
+
+  test("round-0 batching invariance: batched explode yields the same clustering") {
+    // a bucket never spans batches, so the unioned edge set — and the CC
+    // partition — must be IDENTICAL whatever the batch count (the disk-
+    // envelope knob must not be a semantics knob)
+    val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(groups = 60)).cache()
+    val images = SyntheticCorpus.imagesOf(gen)
+    def partitionOf(b: Int): Set[Set[Long]] = {
+      import spark.implicits._
+      Pipeline.run(spark, images, GraftConfig(seed = 7L, maxMacroRounds = 2,
+        round0Batches = b)).assign.as[(Long, Long)].collect()
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    }
+    assert(partitionOf(1) == partitionOf(3), "clustering changed under round-0 batching")
+    gen.unpersist()
+  }
 }
 
 class SkewSpec extends SparkSpec {
