@@ -198,3 +198,28 @@ class SkewSpec extends SparkSpec {
     gen.unpersist()
   }
 }
+
+class ShuffleRetirementSpec extends SparkSpec {
+  import org.apache.spark.graft.ShuffleRetirement
+
+  test("retireAllExcept unregisters exactly the non-kept shuffles") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // shuffle S: materialized before the snapshot -> in the keep set
+    val s = (1 to 1000).toDF("x").groupBy(pmod(col("x"), lit(7))).count()
+    assert(s.collect().length == 7)
+    val keep = ShuffleRetirement.liveIds(sc)
+    // shuffle T: created after the snapshot -> retired
+    val t = (1 to 1000).toDF("x").groupBy(pmod(col("x"), lit(11))).count()
+    assert(t.collect().length == 11)
+    assert((ShuffleRetirement.liveIds(sc) -- keep).nonEmpty,
+      "expected the second aggregation to register at least one new shuffle")
+    val n = ShuffleRetirement.retireAllExcept(sc, keep)
+    assert(n >= 1, s"retired $n")
+    // unregistration is synchronous in the tracker (file deletion is async)
+    assert((ShuffleRetirement.liveIds(sc) -- keep).isEmpty,
+      "non-kept shuffles must be unregistered")
+    // kept shuffles remain untouched; S's cached-free plan can even re-run
+    assert(s.collect().length == 7)
+  }
+}
