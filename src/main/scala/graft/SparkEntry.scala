@@ -40,12 +40,25 @@ object SparkEntry {
   private def docChainPairs(s: SparkSession, dir: String): DataFrame =
     Banding.chainPairs(docBuckets(s, dir), saltShards = 1)
 
+  /** The operator demos below run EAGER iterative work (CC star rounds,
+    * metric aggregations) over fixture-scale tables where per-stage
+    * adaptive replanning dominates wall time — the same latency profile as
+    * the pipeline's small macro passes, so they reuse the same conf flip
+    * (AQE off + few static shuffle partitions) when the fixture is small.
+    * Results are identical either way; only planning latency changes. */
+  private val smallDocsCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def smallDocs(s: SparkSession, dir: String): Boolean =
+    smallDocsCache.getOrElseUpdate(dir, docs(s, dir).count() < 100000L)
+  private def smallJob[A](s: SparkSession, dir: String)(f: => A): A =
+    Pipeline.withSmallPassConf(s, smallDocs(s, dir))(f)
+
   /** Real connected-components assignment over the chain edges. */
-  private def docClusters(s: SparkSession, dir: String): DataFrame = {
-    val ids = docs(s, dir).select(col("doc_id").as("row_id"))
-    ConnectedComponents.assign(ids,
-      ConnectedComponents.components(s, docChainPairs(s, dir)))
-  }
+  private def docClusters(s: SparkSession, dir: String): DataFrame =
+    smallJob(s, dir) {
+      val ids = docs(s, dir).select(col("doc_id").as("row_id"))
+      ConnectedComponents.assign(ids,
+        ConnectedComponents.components(s, docChainPairs(s, dir)))
+    }
 
   /** pred/truth pair for the metric operators (M1–M6): pred = chain-CC
     * clusters, truth = source column (impure w.r.t. pred ⇒ nondegenerate). */
@@ -56,10 +69,11 @@ object SparkEntry {
     (pred, truth)
   }
 
-  private def metricsReport(s: SparkSession, dir: String): Metrics.Report = {
-    val (pred, truth) = predTruth(s, dir)
-    Metrics.evaluate(s, pred, truth)
-  }
+  private def metricsReport(s: SparkSession, dir: String): Metrics.Report =
+    smallJob(s, dir) {
+      val (pred, truth) = predTruth(s, dir)
+      Metrics.evaluate(s, pred, truth)
+    }
 
   private def r6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -267,11 +281,15 @@ object SparkEntry {
     // ---- hash-internal dedup (deterministic given seeds: sf0.01 histograms
     // pinned as VALUES oracles; planted-truth semantics in DocDedupSpec) ----
     "dedup_minhash_lsh" -> ((s, dir) =>
-      DocDedup.minhashLsh(s, docs(s, dir), GraftConfig(q = 5, bandRounds = 16), 0.92)
+      smallJob(s, dir) {
+        DocDedup.minhashLsh(s, docs(s, dir), GraftConfig(q = 5, bandRounds = 16), 0.92)
+      }
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))),
     "dedup_simhash" -> ((s, dir) =>
-      DocDedup.simhash(s, docs(s, dir), hammingMax = 3)
+      smallJob(s, dir) {
+        DocDedup.simhash(s, docs(s, dir), hammingMax = 3)
+      }
         .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))),
 

@@ -206,7 +206,7 @@ object Pipeline {
     * is below `cfg.smallPassFocusRows` therefore run with AQE off and a
     * small static shuffle-partition count; both are runtime confs restored
     * afterwards, so large passes keep AQE's skew/coalesce machinery. */
-  private[cluster] def withSmallPassConf[A](spark: SparkSession, small: Boolean)(f: => A): A =
+  private[graft] def withSmallPassConf[A](spark: SparkSession, small: Boolean)(f: => A): A =
     if (!small) f
     else {
       val conf = spark.conf
