@@ -104,7 +104,12 @@ object ScalingBench {
     if (sys.env.contains("SPARK_GRAFT_PROFILE")) spark.sparkContext.addSparkListener(prof)
     val images = spark.read.parquet(imagesPath)
     if (warm) { // tiny warm-up: JIT + codegen caches, not reported
-      Pipeline.run(spark, images.limit(5000), GraftConfig(seed = 7L)).assign.count()
+      val w = Pipeline.run(spark, images.limit(5000), GraftConfig(seed = 7L))
+      w.assign.count()
+      // drop the warm-up's features cache NOW: the blanket post-run
+      // retirement below would otherwise strand a live cache whose lineage
+      // includes the warm-up featurize exchange (ADVICE r4)
+      w.features.unpersist()
     }
     // disk-envelope knobs for the largest corpora: round-0 batch count and
     // the fused-pass volume cap bound the in-flight scratch of any single

@@ -47,8 +47,16 @@ object SparkEntry {
     * (AQE off + few static shuffle partitions) when the fixture is small.
     * Results are identical either way; only planning latency changes. */
   private val smallDocsCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Cache key carries the parquet directory's file listing (count + sizes
+    * + mtimes), so a fixture directory REWRITTEN in-session is re-counted
+    * instead of riding a stale small/large classification (ADVICE r4). */
+  private def docsDirSig(dir: String): String = {
+    val files = Option(new java.io.File(dir, "documents.parquet").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+    s"$dir#${files.size}#${files.map(f => f.length() + 31L * f.lastModified()).sum}"
+  }
   private def smallDocs(s: SparkSession, dir: String): Boolean =
-    smallDocsCache.getOrElseUpdate(dir, docs(s, dir).count() < 100000L)
+    smallDocsCache.getOrElseUpdate(docsDirSig(dir), docs(s, dir).count() < 100000L)
   private def smallJob[A](s: SparkSession, dir: String)(f: => A): A =
     Pipeline.withSmallPassConf(s, smallDocs(s, dir))(f)
 

@@ -152,13 +152,16 @@ object Pipeline {
     * this hoists those merges out of the hot path). Exact string keys in
     * the window — no hash, no collision risk.
     *
-    * The identity-edge relation is PERSISTED: the caller both counts it and
-    * unions it into the first edge set, and without the cache the two
-    * (caption, phash) window passes over the full corpus ran twice
-    * (round-2 profiling artifact, fixed round 3).
+    * Both returned relations are eagerly localCheckpoint'ed, not merely
+    * persisted (ADVICE r4): they stay live across the round-0 batch loop's
+    * mid-pass shuffle retirements, and a persisted-only cache there would
+    * hold shuffle-backed lineage it could no longer recompute through.
+    * Truncation also keeps the round-2 fix (without materialization the two
+    * (caption, phash) window passes over the full corpus ran twice).
     *
-    * Returns (identity edges — persisted, caller unpersists;
-    * representative row ids — persisted; duplicate count). */
+    * Returns (identity edges — checkpointed, caller frees via
+    * [[graft.util.Checkpoints.unpersistCheckpoint]]; representative row ids
+    * — checkpointed, same contract; duplicate count). */
   private def collapseExactDups(features: DataFrame, saltShards: Int)
       : (DataFrame, DataFrame, Long) = {
     val salted = features.select(col("row_id"), col("caption"), col("phash"))
@@ -177,11 +180,11 @@ object Pipeline {
       .select(col("x"), col("mn").as("y"))
     val identity = intra.select("x", "y").unionAll(inter)
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val repIds = shardMins.groupBy("caption", "phash")
       .agg(min("mn").as("row_id")).select("row_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nDup = identity.count() // = n - |reps|; also materializes shard mins
+      .localCheckpoint()
+    val nDup = identity.count() // cheap checkpoint scan; = n - |reps|
     (identity, repIds, nDup)
   }
 
@@ -205,7 +208,15 @@ object Pipeline {
     * invariant residual pass, VERDICT r3 #2). Passes whose focus estimate
     * is below `cfg.smallPassFocusRows` therefore run with AQE off and a
     * small static shuffle-partition count; both are runtime confs restored
-    * afterwards, so large passes keep AQE's skew/coalesce machinery. */
+    * afterwards, so large passes keep AQE's skew/coalesce machinery.
+    *
+    * CONCURRENCY (ADVICE r4): the flip mutates SESSION-GLOBAL runtime conf
+    * and assumes the single-threaded driver loop this pipeline (and the
+    * demo entry points) run under — a concurrent query on the same
+    * SparkSession during a small pass would silently observe AQE off / 16
+    * shuffle partitions, and nested or parallel use races the
+    * save-and-restore. Callers that share a session across threads should
+    * run small passes on `spark.newSession()` instead. */
   private[graft] def withSmallPassConf[A](spark: SparkSession, small: Boolean)(f: => A): A =
     if (!small) f
     else {
@@ -275,8 +286,16 @@ object Pipeline {
       retire()
       verified
     }
-    val firstEdges = (batchEdges :+ identityEdges)
-      .reduce(_ unionAll _)
+    // With >1 batch a pair whose bucket collides in SEVERAL batches' hash
+    // columns verifies once per batch, and chainPairs' distinct is only
+    // per-batch — without a cross-batch distinct those duplicates inflate
+    // endpointCounts (A6 scores) and the verifiedPairs stat vs the
+    // single-query plan (ADVICE r4). Identity edges are disjoint from chain
+    // edges (a rep never pairs with itself), so distinct-ing just the chain
+    // side restores EXACT single-query semantics, scores included.
+    val chainEdges0 = batchEdges.reduce(_ unionAll _)
+    val chainEdges = if (nBatches > 1) chainEdges0.distinct() else chainEdges0
+    val firstEdges = chainEdges.unionAll(identityEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // CC's own first job materializes firstEdges into the cache (round 2 ran
     // a separate count() job through the whole verify pipeline first); the
@@ -296,8 +315,8 @@ object Pipeline {
     val (clusters, singles) = sizeStats(sizes)
     firstEdges.unpersist()
     batchEdges.foreach(graft.util.Checkpoints.unpersistCheckpoint)
-    identityEdges.unpersist()
-    repIds.unpersist()
+    graft.util.Checkpoints.unpersistCheckpoint(identityEdges)
+    graft.util.Checkpoints.unpersistCheckpoint(repIds)
     graft.util.Checkpoints.unpersistCheckpoint(comps) // rel supersedes it
     (State(rel, sizes),
       PhaseStat("chunk+band", 0, -1L, nVerified, clusters, singles, 1.0))
@@ -359,19 +378,25 @@ object Pipeline {
       Banding.explodeBands(f, cfg, j)
     }.reduce(_ unionAll _)
     val cand = Banding.chainPairs(buckets, cfg.saltShards)
+    // EAGER localCheckpoint, not persist (ADVICE r4): `verified` stays live
+    // across this pass's early retire() below, and a persisted-only cache
+    // would keep shuffle-backed lineage it could no longer recompute
+    // through once those shuffles are retired. The checkpoint job IS the
+    // pass's first materializing action (it runs the whole verify
+    // pipeline); the probe and count below are then cheap block scans.
     val verified = VerifyPairs.verify(
       cand, features, cfg.q, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // Incremental union-find on the LABEL graph: new pairs touch existing
     // clusters, so mapping endpoints to their current labels gives a graph
     // with ≤ |verified| edges — orders of magnitude smaller than re-running
     // CC over all assignment edges. The bounded probe (≤ 100k+1 label
-    // edges) is the pass's FIRST materializing action — it runs the verify
-    // pipeline into the cache and decides the zero-work branch, replacing
-    // round 2's separate verify-count job (VERDICT r2 #1); st.rel is hash-
-    // partitioned on row_id, so only the small verified side shuffles here.
+    // edges) scans the just-written verified checkpoint and decides the
+    // zero-work branch (it replaced round 2's separate verify-count job,
+    // VERDICT r2 #1); st.rel is hash-partitioned on row_id, so only the
+    // small verified side shuffles here.
     val la = st.rel.select(col("row_id").as("a"), col("cluster_id").as("la"))
     val lb = st.rel.select(col("row_id").as("b"), col("cluster_id").as("lb"))
     val labelEdges = verified.join(la, "a").join(lb, "b")
@@ -379,12 +404,12 @@ object Pipeline {
       .select(col("la").as("a"), col("lb").as("b")).distinct()
     val labelEdgeCap = 100000
     val probe = labelEdges.limit(labelEdgeCap + 1).collect()
-    val nVerified = verified.count() // cheap: scans the cache just written
+    val nVerified = verified.count() // cheap: scans the checkpoint blocks
     focusFeatures.unpersist()
-    // Early retirement: with `verified` materialized in its cache, the
-    // pass's candidate-generation shuffles (explode exchange, chain
-    // windows, pair distinct, focus joins) are dead — everything below
-    // reads only the verified cache, the features cache and the
+    // Early retirement: with `verified` checkpointed (lineage truncated),
+    // the pass's candidate-generation shuffles (explode exchange, chain
+    // windows, pair distinct, focus joins) are provably dead — everything
+    // below reads only the verified checkpoint, the features cache and the
     // checkpointed state. Freeing them NOW means the state-update jobs and
     // the next pass never sit on top of this pass's widest intermediate.
     retire()
@@ -394,7 +419,7 @@ object Pipeline {
       // (Documented divergence: intra-cluster score bumps from already-
       // co-clustered verified pairs are dropped in this branch; they only
       // shuffle rep ranking, and rank cycling explores reps regardless.)
-      verified.unpersist()
+      graft.util.Checkpoints.unpersistCheckpoint(verified)
       (st, PhaseStat("final", rounds.last, -1L, nVerified, prevClusters,
         prevSingles, 0.0))
     } else {
@@ -450,7 +475,7 @@ object Pipeline {
         .agg(sum("sz").as("sz"))
         .localCheckpoint()
       val (clusters, singles) = sizeStats(sizes)
-      verified.unpersist()
+      graft.util.Checkpoints.unpersistCheckpoint(verified)
       // new state is materialized — free the superseded pass's checkpoint
       // blocks NOW (driver GC would retain them for the whole run: the
       // round-1 scale-killer that exhausted scratch disk at 8M+ rows)

@@ -31,8 +31,21 @@ import org.apache.spark.{MapOutputTrackerMaster, SparkContext}
   * corrupt data — a downstream fetch would fail and Spark would recompute
   * the map stage — but a consumer whose lineage was truncated by
   * localCheckpoint cannot recompute and would fail the job. The pipeline
-  * therefore retires only at pass boundaries, after the new state is
-  * materialized and truncated and the pass's caches are dropped.
+  * therefore retires only when every still-live relation is either (a)
+  * eagerly localCheckpoint'ed — lineage truncated, so no plan path through
+  * a retired shuffle exists — or (b) backed solely by keep-set shuffles
+  * (the features cache). This holds at pass boundaries AND at the two
+  * mid-pass sites (the round-0 batch loop and macroStep's early retire):
+  * `verified`, `identityEdges` and `repIds` are checkpoints, not persisted
+  * caches, precisely so those sites satisfy the contract (ADVICE r4).
+  *
+  * Executor-loss caveat (real clusters): localCheckpoint blocks themselves
+  * are not fault-tolerant — Spark documents that losing an executor loses
+  * its local checkpoint blocks regardless of retirement. Retirement does
+  * not change that failure mode; a multi-executor deployment that needs
+  * kill-resume durability should layer the reliable per-partition ledger
+  * (`CheckpointedPipeline`) on top, which persists state to stable storage
+  * between passes.
   */
 object ShuffleRetirement {
 

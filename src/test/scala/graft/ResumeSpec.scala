@@ -57,6 +57,54 @@ class ResumeSpec extends SparkSpec {
     assert(partitionSets(res4.assign.select("row_id", "cluster_id")) == golden)
   }
 
+  test("resume after a mid-pass crash WITH shuffle retirement reproduces the clustering") {
+    // VERDICT r4 #5: CheckpointedPipeline retires shuffles between saved
+    // rounds, so the durable resume path must hold when the crash lands
+    // AFTER a retire() — i.e. when every shuffle and in-memory cache of the
+    // torn run is already gone and only the parquet artifacts + ledger
+    // survive. Simulated faithfully in-process: run to completion, drop the
+    // run's features cache, retire EVERY shuffle the run created (exactly
+    // what a real crash's process death implies), tear the last pass's
+    // ledger commit (commit-last ⇒ artifact may exist without its entry),
+    // then resume and demand the pinned clustering.
+    val base = Files.createTempDirectory("graft_resume_ret").toString
+    val imagesPath = s"$base/images"
+    val workDir = s"$base/work"
+    val cfg = GraftConfig(seed = 7L) // retireShuffles = true (default)
+
+    val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(groups = 60)).cache()
+    TableIO.writeImages(SyntheticCorpus.imagesOf(gen), imagesPath, numParts = 4)
+    gen.unpersist()
+
+    val liveBefore = org.apache.spark.graft.ShuffleRetirement.liveIds(spark.sparkContext)
+    val (res1, _) = CheckpointedPipeline.run(spark, imagesPath, workDir, cfg)
+    val golden = partitionSets(res1.assign.select("row_id", "cluster_id"))
+
+    // the "crash": nothing volatile from the torn run survives — its caches
+    // are dropped and every shuffle it registered is retired (only ITS
+    // shuffles: the session is shared with other suites)
+    res1.features.unpersist(blocking = true)
+    val liveAfter = org.apache.spark.graft.ShuffleRetirement.liveIds(spark.sparkContext)
+    org.apache.spark.graft.ShuffleRetirement
+      .retireAllExcept(spark.sparkContext, liveAfter -- (liveAfter -- liveBefore))
+
+    // torn pass: last completed pass lost its ledger commit; its parquet
+    // artifact (write-ahead) may or may not exist — keep it to exercise
+    // the redo-over-artifact path
+    val doneRounds = TableIO.completedKeys(workDir)
+      .filter(_.startsWith("round_")).map(_.stripPrefix("round_").toInt)
+    val last = doneRounds.max
+    assert(last >= 1, "fixture too small: need at least one macro pass after round 0")
+    TableIO.dropEntry(workDir, s"round_$last")
+
+    val (res5, rep5) = CheckpointedPipeline.run(spark, imagesPath, workDir, cfg)
+    assert(rep5.featuresComputed.isEmpty, s"recomputed features ${rep5.featuresComputed}")
+    assert(rep5.roundsComputed.contains(last),
+      s"torn pass $last not redone: ${rep5.roundsComputed}")
+    assert(partitionSets(res5.assign.select("row_id", "cluster_id")) == golden)
+    res5.features.unpersist()
+  }
+
   test("ledger entries carry per-partition lineage metrics and survive rewrite") {
     val base = Files.createTempDirectory("graft_ledger").toString
     TableIO.writeEntry(base, TableIO.LedgerEntry(
