@@ -57,8 +57,12 @@ object SparkEntry {
   }
   private def smallDocs(s: SparkSession, dir: String): Boolean =
     smallDocsCache.getOrElseUpdate(docsDirSig(dir), docs(s, dir).count() < 100000L)
+  /** `-Dgraft.smalljob.disable=true` pins the flip OFF — a diagnostic
+    * escape used by [[graft.tools.QueryLab]] to separate the conf flip's
+    * effect from box variance on the fixture queries. */
   private def smallJob[A](s: SparkSession, dir: String)(f: => A): A =
-    Pipeline.withSmallPassConf(s, smallDocs(s, dir))(f)
+    Pipeline.withSmallPassConf(s, smallDocs(s, dir) &&
+      !sys.props.get("graft.smalljob.disable").contains("true"))(f)
 
   /** Real connected-components assignment over the chain edges. */
   private def docClusters(s: SparkSession, dir: String): DataFrame =
