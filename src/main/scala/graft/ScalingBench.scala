@@ -106,10 +106,11 @@ object ScalingBench {
     if (warm) { // tiny warm-up: JIT + codegen caches, not reported
       val w = Pipeline.run(spark, images.limit(5000), GraftConfig(seed = 7L))
       w.assign.count()
-      // drop the warm-up's features cache NOW: the blanket post-run
-      // retirement below would otherwise strand a live cache whose lineage
-      // includes the warm-up featurize exchange (ADVICE r4)
+      // drop the warm-up's caches NOW: the blanket post-run retirement
+      // below would otherwise strand live caches whose lineage includes
+      // the warm-up featurize/caption exchanges (ADVICE r4)
       w.features.unpersist()
+      w.captions.unpersist()
     }
     // disk-envelope knobs for the largest corpora: round-0 batch count and
     // the fused-pass volume cap bound the in-flight scratch of any single
@@ -133,6 +134,7 @@ object ScalingBench {
     // not stack its own shuffles on the tail's files — at 16M rows that
     // stacking alone would overrun the sandbox disk
     res.features.unpersist()
+    res.captions.unpersist()
     org.apache.spark.graft.ShuffleRetirement
       .retireAllExcept(spark.sparkContext, Set.empty)
     import org.apache.spark.sql.functions._

@@ -43,17 +43,24 @@ object CheckpointedPipeline {
         s"features_$p", "features", p, rows,
         Map("config_seed" -> cfg.seed.toString, "m" -> cfg.m.toString)))
     }
+    // Same hot/cold cache split as Pipeline.run (round-5 cache diet): the
+    // per-pass hot columns in MEMORY_AND_DISK, the caption column in its
+    // own DISK_ONLY cache. Both reads are column-pruned parquet scans of
+    // the stage-1 artifacts.
     val features = spark.read.parquet(s"$workDir/features")
-      .drop("part_id")
+      .select("row_id", "minhash", "phash")
       .repartition(col("row_id")) // join-aligned cache, as in Pipeline.run
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Same (n, capLen) aggregate as Pipeline.run — round 1 took capLen from
+    val n = features.count()
+    val captions = spark.read.parquet(s"$workDir/features")
+      .select("row_id", "caption")
+      .repartition(col("row_id"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // Same capLen aggregate as Pipeline.run — round 1 took capLen from
     // an arbitrary first row (partition-order dependent), so resumed and
     // non-resumed runs could derive different chunk-phase anchor params from
     // the same data (VERDICT r1 "what's wrong" #1).
-    val meta = features.agg(count(lit(1)), max(length(col("caption")))).head()
-    val n = meta.getLong(0)
-    val capLen = meta.getInt(1)
+    val capLen = captions.agg(max(length(col("caption")))).head().getInt(0)
 
     // ---- Stage 2-4: clustering rounds (round = resumable unit). ----
     val stats = scala.collection.mutable.ArrayBuffer.empty[Pipeline.PhaseStat]
@@ -114,7 +121,7 @@ object CheckpointedPipeline {
     var prevWorkRate = 1.0
     var bad = 0
     if (lastDone < 0) {
-      val (s0, stat0) = Pipeline.initialState(spark, features, cfg, n, capLen, retire)
+      val (s0, stat0) = Pipeline.initialState(spark, features, captions, cfg, n, capLen, retire)
       st = s0; stats += stat0
       saveState(s0, 0, stat0, bad = 0)
       roundsComputed += 0
@@ -140,7 +147,7 @@ object CheckpointedPipeline {
       val rounds = macroItr until (macroItr + t)
       val (st2, stat) = Pipeline.withSmallPassConf(spark,
         prevClusters <= cfg.smallPassFocusRows) {
-        Pipeline.macroStep(spark, features, st, cfg, rounds,
+        Pipeline.macroStep(spark, features, captions, st, cfg, rounds,
           prevClusters, prevSingles, retire)
       }
       st = st2; stats += stat
@@ -158,7 +165,7 @@ object CheckpointedPipeline {
     (Pipeline.Result(
       st.rel.select("row_id", "cluster_id"),
       st.rel.where(col("score") > 0).select("row_id", "score"),
-      features, stats.toSeq),
+      features, captions, stats.toSeq),
       ResumeReport(fTodo, fDone, roundsComputed.toSeq, roundsSkipped.toSeq.sorted))
   }
 }

@@ -57,8 +57,19 @@ object ConnectedComponents {
   /** Run to fixpoint. Input: edge DataFrame with long columns (a, b).
     * Output: (row_id, cluster_id) for every node occurring in `edges`,
     * cluster_id = component minimum.
-    */
-  def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    *
+    * `retire` (round 5): invoked once per converged-checked iteration,
+    * AFTER the superseded iteration state is freed — callers that retire
+    * shuffle files explicitly (Pipeline) pass their pass-boundary retire
+    * hook so CC's own star-round shuffles (≈6 × |E| rows per iteration —
+    * the dominant in-flight scratch at 32M+ edges) are reclaimed as the
+    * fixpoint loop advances instead of piling up until the pass ends.
+    * Contract: safe because `cur`/`mid`/`next` are localCheckpoint'ed
+    * (lineage truncated at materialization) and the input `edges` must be
+    * checkpoint-backed or keep-set-backed, which every retiring caller
+    * guarantees (see ShuffleRetirement's safety contract). */
+  def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+                 retire: () => Unit = () => ()): DataFrame = {
     // LAZY localCheckpoint: truncates the LOGICAL plan immediately (the
     // star steps union branches, so an un-truncated plan tree grows
     // exponentially with iterations) while the signature aggregation
@@ -84,6 +95,7 @@ object ConnectedComponents {
       // scale blocker at 8–16M rows)
       graft.util.Checkpoints.unpersistCheckpoint(mid)
       graft.util.Checkpoints.unpersistCheckpoint(cur)
+      retire()
       converged = nextSig == curSig
       cur = next
       curSig = nextSig

@@ -51,7 +51,8 @@ object Pipeline {
   final case class Result(
       assign: DataFrame, // (row_id, cluster_id)
       scores: DataFrame, // (row_id, score) — A6
-      features: DataFrame,
+      features: DataFrame, // hot cache: (row_id, minhash, phash)
+      captions: DataFrame, // cold cache: (row_id, caption), DISK_ONLY
       stats: Seq[PhaseStat])
 
   /** Mutable-between-passes pipeline state:
@@ -162,9 +163,12 @@ object Pipeline {
     * Returns (identity edges — checkpointed, caller frees via
     * [[graft.util.Checkpoints.unpersistCheckpoint]]; representative row ids
     * — checkpointed, same contract; duplicate count). */
-  private def collapseExactDups(features: DataFrame, saltShards: Int)
-      : (DataFrame, DataFrame, Long) = {
-    val salted = features.select(col("row_id"), col("caption"), col("phash"))
+  private def collapseExactDups(features: DataFrame, captions: DataFrame,
+      saltShards: Int): (DataFrame, DataFrame, Long) = {
+    // both caches are hash-partitioned on row_id, so this join is
+    // exchange-free; it is the ONE full-corpus caption scan of round 0
+    val salted = features.select(col("row_id"), col("phash"))
+      .join(captions, "row_id")
       .withColumn("salt", pmod(xxhash64(col("row_id")), lit(saltShards)))
     val wShard = Window.partitionBy("caption", "phash", "salt").orderBy("row_id")
     val intra = salted
@@ -232,18 +236,22 @@ object Pipeline {
     }
 
   /** Phases 2+3: chunk rounds + global banding + first CC pass. */
-  def initialState(spark: SparkSession, features: DataFrame, cfg: GraftConfig,
-                   n: Long, capLen: Int,
+  def initialState(spark: SparkSession, features: DataFrame, captions: DataFrame,
+                   cfg: GraftConfig, n: Long, capLen: Int,
                    retire: () => Unit = () => ()): (State, PhaseStat) = {
     val rows = features.select("row_id")
 
-    val (identityEdges, repIds, nDup) = collapseExactDups(features, cfg.saltShards)
+    val (identityEdges, repIds, nDup) = collapseExactDups(features, captions, cfg.saltShards)
     // dup-free corpora skip the rep join entirely; otherwise the rep-id set
-    // (one Long per distinct row) is broadcast when small enough
-    val repFeatures =
+    // (one Long per distinct row) is broadcast when small enough. Round-0
+    // candidate hashing needs BOTH signature lanes (band hashes) and the
+    // caption (chunk substring hashes), so the captions cache is joined
+    // back here — exchange-free (both sides hash-partitioned on row_id).
+    val repSlim =
       if (nDup == 0) features
       else if (n - nDup <= RepBroadcastMaxRows) features.join(broadcast(repIds), "row_id")
       else features.join(repIds, "row_id")
+    val repFeatures = repSlim.join(captions, "row_id")
 
     // 2+3. Chunk-phase substring rounds AND global LSH banding contribute
     // candidates; the union is verified ONCE at the final thresholds
@@ -280,7 +288,7 @@ object Pipeline {
         col("row_id"), explode(array(batch: _*)).as("band_hash"))
       val cand = Banding.chainPairs(buckets, cfg.saltShards)
       val verified = VerifyPairs.verify(
-        cand, features, cfg.q, cfg.sdHigh, cfg.sdLow,
+        cand, features, captions, cfg.q, cfg.sdHigh, cfg.sdLow,
         cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
         .localCheckpoint()
       retire()
@@ -295,12 +303,16 @@ object Pipeline {
     // side restores EXACT single-query semantics, scores included.
     val chainEdges0 = batchEdges.reduce(_ unionAll _)
     val chainEdges = if (nBatches > 1) chainEdges0.distinct() else chainEdges0
+    // EAGER checkpoint, not persist: connected components below retires
+    // shuffles PER ITERATION (round 5 — the un-retired CC window was the
+    // 54.7 GB peak-scratch driver at 32M), and the cross-batch distinct
+    // would otherwise be live shuffle lineage under a persisted-only cache
     val firstEdges = chainEdges.unionAll(identityEdges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // CC's own first job materializes firstEdges into the cache (round 2 ran
     // a separate count() job through the whole verify pipeline first); the
     // stats count below is then a cheap cache scan.
-    val comps = ConnectedComponents.components(spark, firstEdges)
+    val comps = ConnectedComponents.components(spark, firstEdges, retire = retire)
     val nVerified = firstEdges.count()
     val assign = ConnectedComponents.assign(rows, comps)
     // EAGER (round 4): truncating rel's lineage HERE is what makes pass-
@@ -313,7 +325,7 @@ object Pipeline {
     val sizes = rel.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
       .localCheckpoint()
     val (clusters, singles) = sizeStats(sizes)
-    firstEdges.unpersist()
+    graft.util.Checkpoints.unpersistCheckpoint(firstEdges)
     batchEdges.foreach(graft.util.Checkpoints.unpersistCheckpoint)
     graft.util.Checkpoints.unpersistCheckpoint(identityEdges)
     graft.util.Checkpoints.unpersistCheckpoint(repIds)
@@ -326,7 +338,7 @@ object Pipeline {
     * focus set -> per-round banding branches fused into one explode ->
     * verify -> incremental CC. Returns the new state and the pass's stat
     * (attributed to `rounds.last`). */
-  def macroStep(spark: SparkSession, features: DataFrame, st: State,
+  def macroStep(spark: SparkSession, features: DataFrame, captions: DataFrame, st: State,
                 cfg: GraftConfig, rounds: Seq[Int],
                 prevClusters: Long, prevSingles: Long,
                 retire: () => Unit = () => ()): (State, PhaseStat) = {
@@ -385,7 +397,7 @@ object Pipeline {
     // pass's first materializing action (it runs the whole verify
     // pipeline); the probe and count below are then cheap block scans.
     val verified = VerifyPairs.verify(
-      cand, features, cfg.q, cfg.sdHigh, cfg.sdLow,
+      cand, features, captions, cfg.q, cfg.sdHigh, cfg.sdLow,
       cfg.distanceThreshold, cfg.hammingThreshold, cfg.minLcs)
       .localCheckpoint()
 
@@ -445,7 +457,7 @@ object Pipeline {
           import spark.implicits._
           pairs.toDF("cluster_id", "new_cluster_id")
         } else {
-          ConnectedComponents.components(spark, labelEdges)
+          ConnectedComponents.components(spark, labelEdges, retire = retire)
             .where(col("row_id") =!= col("cluster_id"))
             .select(col("row_id").as("cluster_id"), col("cluster_id").as("new_cluster_id"))
         }
@@ -501,19 +513,33 @@ object Pipeline {
     // joins shuffle only the (much smaller) pair side — profiled at 8M
     // rows, the per-round full-corpus re-shuffles dominated macro-round
     // cost at both parallelism levels.
+    // Round-5 features-cache diet (VERDICT r4 #1): the hot cache carries
+    // ONLY the columns the per-pass scans touch — row_id, phash, minhash
+    // (with 32-bit lanes: 186 of the round-4 456 B/row, CacheAudit) — so at
+    // 32M+ rows it stops competing with execution memory. The caption
+    // column (92 B/row, read only by round-0 exact-dup/chunk hashing and
+    // the hamming-SURVIVOR side of each verify) lives in its own DISK_ONLY
+    // cache: columnar-compressed on scratch disk, OS-page-cache-hot, zero
+    // JVM-heap charge. Captions come from a second scan of the SOURCE
+    // (caption is a source column; row_id is a hash of image_id), not a
+    // second featurize pass — no double shingle/signature compute.
     val features = MinHash.featurize(spark, images, cfg).toDF()
-      .drop("shingles")
+      .drop("shingles", "caption", "simhash")
       .repartition(col("row_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one job: materialize the cache AND collect (n, typical caption length)
-    val meta = features.agg(count(lit(1)), max(length(col("caption")))).head()
-    val n = meta.getLong(0)
-    val capLen = meta.getInt(1)
+    val n = features.count() // materialize the hot cache
+    val captions = images.select(
+        graft.feat.RowIds.rowIdCol(col("image_id")).as("row_id"), col("caption"))
+      .repartition(col("row_id")) // align with the hot cache: verify joins both
+      .persist(StorageLevel.DISK_ONLY)
+    // one job: materialize the captions cache AND collect typical length
+    val capLen = captions.agg(max(length(col("caption")))).head().getInt(0)
 
     // Shuffle retirement (round 4): snapshot the ids backing the features
-    // cache (the featurize exchange — the ONE shuffle a future recompute of
-    // an evicted cache block could still need); everything created after
-    // this point is per-pass and provably dead at each pass boundary.
+    // and captions caches (their exchanges — the shuffles a future
+    // recompute of an evicted cache block could still need); everything
+    // created after this point is per-pass and provably dead at each pass
+    // boundary.
     val keepShuffles: Set[Int] =
       if (cfg.retireShuffles)
         org.apache.spark.graft.ShuffleRetirement.liveIds(spark.sparkContext)
@@ -525,7 +551,7 @@ object Pipeline {
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[PhaseStat]
     val tInit = System.nanoTime()
-    var (st, stat0) = initialState(spark, features, cfg, n, capLen, retire)
+    var (st, stat0) = initialState(spark, features, captions, cfg, n, capLen, retire)
     stats += stat0.copy(seconds = (System.nanoTime() - tInit) / 1e9)
     retire()
 
@@ -546,7 +572,7 @@ object Pipeline {
         val tR = System.nanoTime()
         val (st2, stat0) = withSmallPassConf(spark,
           prevClusters <= cfg.smallPassFocusRows) {
-          macroStep(spark, features, st, cfg, rounds, prevClusters,
+          macroStep(spark, features, captions, st, cfg, rounds, prevClusters,
             prevSingles, retire)
         }
         st = st2
@@ -569,6 +595,6 @@ object Pipeline {
       // score 0 and is absent here — downstream consumers get a slightly
       // sparser scores relation than a sequential per-round run would emit.
       st.rel.where(col("score") > 0).select("row_id", "score"),
-      features, stats.toSeq)
+      features, captions, stats.toSeq)
   }
 }

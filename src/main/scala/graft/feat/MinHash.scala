@@ -26,16 +26,32 @@ object MinHash {
   def laneSeeds(cfg: GraftConfig): Array[Long] =
     Array.tabulate(cfg.m)(i => hash3(cfg.seed, MINHASH_DOMAIN, i.toLong))
 
-  /** MinHash signature over a shingle array. */
-  def signature(shingles: Array[Long], seeds: Array[Long]): Array[Long] = {
+  /** MinHash signature over a shingle array.
+    *
+    * Lanes are 32-BIT (round-5 features-cache diet): the lane value only
+    * ever participates in EQUALITY tests — band hashes fold k lanes, and
+    * P(min_a = min_b) = Jaccard needs any fixed total order on hash values
+    * — so lane width buys nothing beyond collision resistance, and a
+    * spurious per-lane collision adds 2⁻³² to the match probability,
+    * immeasurable against the sdLow = 0.22 verification gate. 32-bit lanes
+    * are the standard MinHash width (Spark's own MinHashLSH uses int
+    * hashes); the switch halved the dominant column of the features cache
+    * (340 → 170 B/row of a measured 456 B/row at m = 40, CacheAudit),
+    * which at 32M rows was competing with execution memory (−17% per-row
+    * throughput, BENCH.md round 4). The min is taken over the UNSIGNED
+    * 32-bit order via the signed-flip trick so the lane keeps uniform
+    * min-hash statistics. */
+  def signature(shingles: Array[Long], seeds: Array[Long]): Array[Int] = {
     val m = seeds.length
-    val sig = Array.fill(m)(Long.MaxValue)
+    val sig = Array.fill(m)(Int.MaxValue) // flipped domain max = unsigned max
     var i = 0
     while (i < shingles.length) {
       val x = shingles(i)
       var j = 0
       while (j < m) {
-        val h = mix64(seeds(j) ^ x)
+        // top 32 bits of the 64-bit universal hash, sign-flipped so signed
+        // Int comparison realizes the unsigned order
+        val h = ((mix64(seeds(j) ^ x) >>> 32).toInt) ^ Int.MinValue
         if (h < sig(j)) sig(j) = h
         j += 1
       }

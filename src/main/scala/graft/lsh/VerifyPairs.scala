@@ -51,10 +51,14 @@ object VerifyPairs {
       .otherwise(array(xxhash64(cap)))
 
   /** Join candidate pairs (a, b) with per-row features and keep verified
-    * pairs. `features` needs (row_id, caption, phash). */
+    * pairs. `features` needs (row_id, phash) — the hot cache; `captions`
+    * needs (row_id, caption) — since round 5 a separate DISK_ONLY cache
+    * (the caption column only pays its memory cost at the much smaller
+    * hamming-survivor site, never in the per-pass hot scans). */
   def verify(
       pairs: DataFrame,
       features: DataFrame,
+      captions: DataFrame,
       q: Int,
       sdHigh: Double,
       sdLow: Double,
@@ -71,8 +75,8 @@ object VerifyPairs {
       .select("a", "b")
 
     // Phase 2 — captions for survivors only; grams recomputed post-join.
-    val fa = features.select(col("row_id").as("a"), col("caption").as("cap_a"))
-    val fb = features.select(col("row_id").as("b"), col("caption").as("cap_b"))
+    val fa = captions.select(col("row_id").as("a"), col("caption").as("cap_a"))
+    val fb = captions.select(col("row_id").as("b"), col("caption").as("cap_b"))
     val joined = hammingOk.join(fa, "a").join(fb, "b")
       .withColumn("g_a", gramList(col("cap_a"), q))
       .withColumn("g_b", gramList(col("cap_b"), q))

@@ -41,7 +41,7 @@ final case class FeatureRow(
     row_id: Long,
     caption: String,
     shingles: Array[Long],
-    minhash: Array[Long], // length m
+    minhash: Array[Int], // length m; 32-bit lanes (MinHash.signature doc)
     simhash: Long,
     phash: Long
 )

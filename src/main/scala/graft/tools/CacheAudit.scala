@@ -48,6 +48,7 @@ object CacheAudit {
     audit("minhash only", full.select("row_id", "minhash"))
     audit("caption only", full.select("row_id", "caption"))
     audit("slim (no caption)", full.select("row_id", "minhash", "simhash", "phash"))
+    audit("HOT cache (r5 diet)", full.select("row_id", "minhash", "phash"))
     audit("ids/phash/simhash", full.select("row_id", "simhash", "phash"))
     spark.stop()
   }
