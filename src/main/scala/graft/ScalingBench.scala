@@ -104,13 +104,19 @@ object ScalingBench {
     if (sys.env.contains("SPARK_GRAFT_PROFILE")) spark.sparkContext.addSparkListener(prof)
     val images = spark.read.parquet(imagesPath)
     if (warm) { // tiny warm-up: JIT + codegen caches, not reported
-      val w = Pipeline.run(spark, images.limit(5000), GraftConfig(seed = 7L))
+      // eager checkpoint: limit() is evaluated ONCE, so Pipeline.run's two
+      // input scans (hot features + captions cache) see the SAME 5000 rows
+      // — a bare limit() re-evaluates per scan and can pick different rows,
+      // which run() now rejects loudly (ADVICE r5)
+      val slice = images.limit(5000).localCheckpoint()
+      val w = Pipeline.run(spark, slice, GraftConfig(seed = 7L))
       w.assign.count()
       // drop the warm-up's caches NOW: the blanket post-run retirement
       // below would otherwise strand live caches whose lineage includes
       // the warm-up featurize/caption exchanges (ADVICE r4)
       w.features.unpersist()
       w.captions.unpersist()
+      graft.util.Checkpoints.unpersistCheckpoint(slice)
     }
     // disk-envelope knobs for the largest corpora: round-0 batch count and
     // the fused-pass volume cap bound the in-flight scratch of any single

@@ -47,16 +47,38 @@ object SparkEntry {
     * (AQE off + few static shuffle partitions) when the fixture is small.
     * Results are identical either way; only planning latency changes. */
   private val smallDocsCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  /** Cache key carries the parquet directory's file listing (count + sizes
-    * + mtimes), so a fixture directory REWRITTEN in-session is re-counted
-    * instead of riding a stale small/large classification (ADVICE r4). */
+  /** Cache key carries the parquet path's RECURSIVE file listing (count +
+    * sizes + mtimes; a plain single-file path contributes its own
+    * length/mtime, nested partition dirs are walked), so a fixture path
+    * REWRITTEN in-session is re-counted instead of riding a stale
+    * small/large classification (ADVICE r4, recursive walk + plain-file
+    * case per ADVICE r5). */
   private def docsDirSig(dir: String): String = {
-    val files = Option(new java.io.File(dir, "documents.parquet").listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-    s"$dir#${files.size}#${files.map(f => f.length() + 31L * f.lastModified()).sum}"
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .map(walk).foldLeft((0L, 0L)) {
+            case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2)
+          }
+      else if (f.isFile) (1L, f.length() + 31L * f.lastModified())
+      else (0L, 0L)
+    val (count, sig) = walk(new java.io.File(dir, "documents.parquet"))
+    s"$dir#$count#$sig"
   }
-  private def smallDocs(s: SparkSession, dir: String): Boolean =
-    smallDocsCache.getOrElseUpdate(docsDirSig(dir), docs(s, dir).count() < 100000L)
+  private def smallDocs(s: SparkSession, dir: String): Boolean = {
+    val sig = docsDirSig(dir)
+    smallDocsCache.get(sig) match {
+      case Some(v) => v
+      case None =>
+        // rewrites change the signature: evict superseded keys for the same
+        // dir so the map doesn't grow forever in-session (ADVICE r5)
+        smallDocsCache.keySet.filter(k => k.startsWith(s"$dir#") && k != sig)
+          .foreach(smallDocsCache.remove)
+        val v = docs(s, dir).count() < 100000L
+        smallDocsCache.putIfAbsent(sig, v)
+        v
+    }
+  }
   /** `-Dgraft.smalljob.disable=true` pins the flip OFF — a diagnostic
     * escape used by [[graft.tools.QueryLab]] to separate the conf flip's
     * effect from box variance on the fixture queries. */

@@ -27,13 +27,43 @@ object CheckpointedPipeline {
       featuresComputed: Seq[Int], featuresSkipped: Seq[Int],
       roundsComputed: Seq[Int], roundsSkipped: Seq[Int])
 
+  /** Signature-format tag written into every stage-1 ledger entry and
+    * checked on resume (ADVICE r5): a workDir whose features were written
+    * by an engine with a different lane width / layout must NOT be mixed
+    * with newly written partitions — the directory-wide parquet read would
+    * fail (or silently mis-infer) on int32-beside-int64 minhash files.
+    * Bump on any featurize output-format change (round 5: 64→32-bit lanes). */
+  val SigFormat = "minhash-i32-v1"
+
   def run(spark: SparkSession, imagesPath: String, workDir: String,
           cfg: GraftConfig = GraftConfig()): (Pipeline.Result, ResumeReport) = {
     val done = TableIO.completedKeys(workDir)
     val parts = TableIO.listPartitions(spark, imagesPath)
 
     // ---- Stage 1: featurize per input partition (resumable unit). ----
-    val (fDone, fTodo) = parts.partition(p => done.contains(s"features_$p"))
+    // A completed partition is reusable only if its ledger entry matches
+    // the current signature format AND signature config; a mismatch (or a
+    // pre-versioning entry with no sig_format key) means "recompute this
+    // partition" — mirroring the round-ledger format-drift guard below.
+    val (fDone, fTodo) = parts.partition { p =>
+      done.contains(s"features_$p") && {
+        val m = TableIO.readEntry(workDir, s"features_$p").metrics
+        m.get("sig_format").contains(SigFormat) &&
+          m.get("config_seed").contains(cfg.seed.toString) &&
+          m.get("m").contains(cfg.m.toString)
+      }
+    }
+    // Re-featurizing ANY partition invalidates clustering state derived
+    // from the old signatures; refuse to silently continue a resume whose
+    // rounds were computed against them.
+    if (fTodo.exists(p => done.contains(s"features_$p")) &&
+        done.exists(_.startsWith("round_")))
+      throw new IllegalStateException(
+        s"workDir $workDir holds clustering rounds computed from feature " +
+        s"partitions whose signature format/config no longer matches " +
+        s"($SigFormat, seed=${cfg.seed}, m=${cfg.m}) — delete the workDir " +
+        "(or its state/ and _ledger/round_* entries) to re-run; refusing " +
+        "to resume across a signature-format drift")
     fTodo.foreach { p =>
       val slice = spark.read.parquet(imagesPath).where(col("part_id") === p)
       val feats = MinHash.featurize(spark, slice, cfg).toDF().drop("shingles")
@@ -41,7 +71,8 @@ object CheckpointedPipeline {
       val rows = spark.read.parquet(s"$workDir/features/part_id=$p").count()
       TableIO.writeEntry(workDir, TableIO.LedgerEntry(
         s"features_$p", "features", p, rows,
-        Map("config_seed" -> cfg.seed.toString, "m" -> cfg.m.toString)))
+        Map("config_seed" -> cfg.seed.toString, "m" -> cfg.m.toString,
+            "sig_format" -> SigFormat)))
     }
     // Same hot/cold cache split as Pipeline.run (round-5 cache diet): the
     // per-pass hot columns in MEMORY_AND_DISK, the caption column in its

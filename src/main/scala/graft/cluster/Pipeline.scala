@@ -523,17 +523,37 @@ object Pipeline {
     // JVM-heap charge. Captions come from a second scan of the SOURCE
     // (caption is a source column; row_id is a hash of image_id), not a
     // second featurize pass — no double shingle/signature compute.
+    // DETERMINISM REQUIREMENT (ADVICE r5): because of that second scan, the
+    // `images` plan must yield the same row set on every execution — a bare
+    // limit()/sample() without a checkpoint can hand the two caches
+    // different rows, and the inner verify joins would then drop rows with
+    // no error. Both materialization jobs below fold in a bit_xor(row_id)
+    // signature and the run fails loudly on mismatch.
     val features = MinHash.featurize(spark, images, cfg).toDF()
       .drop("shingles", "caption", "simhash")
       .repartition(col("row_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = features.count() // materialize the hot cache
+    // one job: materialize the hot cache AND collect n + the id signature
+    val fRow = features.agg(
+      count(lit(1)), coalesce(expr("bit_xor(row_id)"), lit(0L))).head()
+    val n = fRow.getLong(0)
+    val idSig = fRow.getLong(1)
     val captions = images.select(
         graft.feat.RowIds.rowIdCol(col("image_id")).as("row_id"), col("caption"))
       .repartition(col("row_id")) // align with the hot cache: verify joins both
       .persist(StorageLevel.DISK_ONLY)
-    // one job: materialize the captions cache AND collect typical length
-    val capLen = captions.agg(max(length(col("caption")))).head().getInt(0)
+    // one job: materialize the captions cache AND collect typical length +
+    // the id signature for the determinism guard
+    val capRow = captions.agg(
+      coalesce(expr("bit_xor(row_id)"), lit(0L)), max(length(col("caption")))).head()
+    if (capRow.getLong(0) != idSig)
+      throw new IllegalStateException(
+        "Pipeline.run: the images plan yielded different row sets across its " +
+        "two scans (non-deterministic input, e.g. limit()/sample() without a " +
+        "checkpoint) — the hot features cache and the captions cache would " +
+        "disagree and verify joins would silently drop rows. Materialize the " +
+        "input (localCheckpoint/cache/parquet) before calling run.")
+    val capLen = if (n == 0) 0 else capRow.getInt(1)
 
     // Shuffle retirement (round 4): snapshot the ids backing the features
     // and captions caches (their exchanges — the shuffles a future

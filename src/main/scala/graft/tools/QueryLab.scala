@@ -34,19 +34,28 @@ object QueryLab {
       case "small" =>
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "16")
+      case "large" =>
+        // actually disarm SparkEntry's small-job wrapper (ADVICE r5: this
+        // arm was a no-op, so mode=large on a small fixture silently
+        // measured flip-ON behavior); cleared in the finally below
+        sys.props("graft.smalljob.disable") = "true"
       case _ => ()
     }
-    val fn = SparkEntry.queries(name)
-    val times = (1 to reps).map { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[querylab] $name iter=$i rows=$n sec=$s%.3f mode=$mode")
-      s
+    try {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[querylab] $name iter=$i rows=$n sec=$s%.3f mode=$mode")
+        s
+      }
+      val sorted = times.sorted
+      println(f"[querylab] $name mode=$mode min=${sorted.head}%.3f " +
+        f"median=${sorted(reps / 2)}%.3f max=${sorted.last}%.3f")
+    } finally {
+      if (mode == "large") sys.props -= "graft.smalljob.disable"
+      spark.stop()
     }
-    val sorted = times.sorted
-    println(f"[querylab] $name mode=$mode min=${sorted.head}%.3f " +
-      f"median=${sorted(reps / 2)}%.3f max=${sorted.last}%.3f")
-    spark.stop()
   }
 }
