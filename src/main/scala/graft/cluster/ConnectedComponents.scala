@@ -58,17 +58,25 @@ object ConnectedComponents {
     * Output: (row_id, cluster_id) for every node occurring in `edges`,
     * cluster_id = component minimum.
     *
-    * `retire` (round 5): invoked once per converged-checked iteration,
-    * AFTER the superseded iteration state is freed — callers that retire
-    * shuffle files explicitly (Pipeline) pass their pass-boundary retire
-    * hook so CC's own star-round shuffles (≈6 × |E| rows per iteration —
-    * the dominant in-flight scratch at 32M+ edges) are reclaimed as the
-    * fixpoint loop advances instead of piling up until the pass ends.
+    * `retire` (round 5, tightened round 6): invoked after EVERY star-pair
+    * materialization, once the superseded iteration state is freed —
+    * callers that retire shuffle files explicitly (Pipeline) pass their
+    * pass-boundary retire hook so CC's own star-round shuffles (≈6 × |E|
+    * rows per star-pair — the dominant in-flight scratch at 32M+ edges)
+    * are reclaimed as the fixpoint loop advances instead of piling up
+    * until the pass ends. Round 6 moved from two star-pairs per
+    * convergence check to one: the 64M df trace put the run's 74.8 GB
+    * peak-scratch moment exactly at round-0 CC (BENCH.md), and with two
+    * lazily-chained pairs per signature job BOTH pairs' star shuffles
+    * (~12 × |E| rows) were in flight at once. One pair per job halves
+    * that window to ~6 × |E|, costs the same total star-pair work (the
+    * job count doubles but each job does half the pairs), and detects
+    * convergence one pair earlier.
     * Contract: safe because `cur`/`mid`/`next` are localCheckpoint'ed
     * (lineage truncated at materialization) and the input `edges` must be
     * checkpoint-backed or keep-set-backed, which every retiring caller
     * guarantees (see ShuffleRetirement's safety contract). */
-  def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+  def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 100,
                  retire: () => Unit = () => ()): DataFrame = {
     // LAZY localCheckpoint: truncates the LOGICAL plan immediately (the
     // star steps union branches, so an un-truncated plan tree grows
@@ -85,15 +93,14 @@ object ConnectedComponents {
     var iter = 0
     var curSig = signature(cur)
     while (!converged && iter < maxIter) {
-      // two star-pairs per convergence check: halves the driver action
-      // round-trips; the extra pass on an already-converged graph is a no-op
-      val mid = smallStar(largeStar(cur)).localCheckpoint(false)
-      val next = smallStar(largeStar(mid)).localCheckpoint(false)
-      val nextSig = signature(next) // materializes mid and next
+      // ONE star-pair per convergence check (see `retire` doc above): the
+      // signature job materializes exactly one pair's star shuffles before
+      // the previous pair's are retired, halving CC's in-flight scratch
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val nextSig = signature(next) // materializes next
       // bounded retention: superseded iteration state is freed immediately —
       // driver-GC-only release accumulated ~50 GB on long runs (round-1
       // scale blocker at 8–16M rows)
-      graft.util.Checkpoints.unpersistCheckpoint(mid)
       graft.util.Checkpoints.unpersistCheckpoint(cur)
       retire()
       converged = nextSig == curSig

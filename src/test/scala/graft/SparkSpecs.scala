@@ -56,6 +56,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("CC retire hook fires once per star-pair materialization (round 6)") {
+    // a 40-node chain needs several star-pairs to converge; the round-6
+    // one-pair-per-check loop must invoke retire() after EVERY pair (the
+    // in-flight-scratch halving claim), i.e. exactly `iterations` times —
+    // and at least twice on a graph this deep
+    val nodes = (0 until 40).map(i => Hashing.stable(i)).distinct
+    val chain = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
+    var retires = 0
+    val got = ConnectedComponents
+      .assign(nodes.toDF("row_id"),
+        ConnectedComponents.components(spark, chain.toDF("a", "b"),
+          retire = () => retires += 1))
+      .as[(Long, Long)].collect().toMap
+    assert(got == UnionFindOracle.components(nodes, chain))
+    assert(retires >= 2,
+      s"expected one retire per star-pair (>=2 on a 40-chain), got $retires")
+  }
+
   private object Hashing {
     def stable(i: Int): Long = graft.util.Hashing.mix64(i.toLong)
   }
