@@ -35,6 +35,15 @@ object CheckpointedPipeline {
     * Bump on any featurize output-format change (round 5: 64→32-bit lanes). */
   val SigFormat = "minhash-i32-v1"
 
+  /** Shingle-config key recorded beside [[SigFormat]] in stage-1 ledger
+    * entries (ADVICE r6): the featurize OUTPUT is a function of shingle
+    * width (cfg.q) and composition (cfg.usePhash folds pHash bit n-grams
+    * into the shingle set), so reuse must be keyed on them as well.
+    * Pre-r7 ledger entries lack this key and therefore recompute —
+    * conservative by construction. */
+  def shingleKey(cfg: GraftConfig): String =
+    s"q=${cfg.q},phash=${cfg.usePhash}"
+
   def run(spark: SparkSession, imagesPath: String, workDir: String,
           cfg: GraftConfig = GraftConfig()): (Pipeline.Result, ResumeReport) = {
     val done = TableIO.completedKeys(workDir)
@@ -42,15 +51,20 @@ object CheckpointedPipeline {
 
     // ---- Stage 1: featurize per input partition (resumable unit). ----
     // A completed partition is reusable only if its ledger entry matches
-    // the current signature format AND signature config; a mismatch (or a
-    // pre-versioning entry with no sig_format key) means "recompute this
-    // partition" — mirroring the round-ledger format-drift guard below.
+    // the current signature format AND the full signature config; a
+    // mismatch (or a pre-versioning entry missing a key) means "recompute
+    // this partition" — mirroring the round-ledger format-drift guard
+    // below. The shingle key covers cfg.q and cfg.usePhash (ADVICE r6):
+    // featurize output depends on shingle width and composition too, not
+    // just the hash-family params, and a resume after q/usePhash drift
+    // must not silently reuse stale feature partitions.
     val (fDone, fTodo) = parts.partition { p =>
       done.contains(s"features_$p") && {
         val m = TableIO.readEntry(workDir, s"features_$p").metrics
         m.get("sig_format").contains(SigFormat) &&
           m.get("config_seed").contains(cfg.seed.toString) &&
-          m.get("m").contains(cfg.m.toString)
+          m.get("m").contains(cfg.m.toString) &&
+          m.get("shingle").contains(shingleKey(cfg))
       }
     }
     // Re-featurizing ANY partition invalidates clustering state derived
@@ -72,7 +86,7 @@ object CheckpointedPipeline {
       TableIO.writeEntry(workDir, TableIO.LedgerEntry(
         s"features_$p", "features", p, rows,
         Map("config_seed" -> cfg.seed.toString, "m" -> cfg.m.toString,
-            "sig_format" -> SigFormat)))
+            "sig_format" -> SigFormat, "shingle" -> shingleKey(cfg))))
     }
     // Same hot/cold cache split as Pipeline.run (round-5 cache diet): the
     // per-pass hot columns in MEMORY_AND_DISK, the caption column in its
@@ -90,8 +104,12 @@ object CheckpointedPipeline {
     // Same capLen aggregate as Pipeline.run — round 1 took capLen from
     // an arbitrary first row (partition-order dependent), so resumed and
     // non-resumed runs could derive different chunk-phase anchor params from
-    // the same data (VERDICT r1 "what's wrong" #1).
-    val capLen = captions.agg(max(length(col("caption")))).head().getInt(0)
+    // the same data (VERDICT r1 "what's wrong" #1). Mirrors Pipeline.run's
+    // n==0 guard, with coalesce for the all-null-caption case (ADVICE r6).
+    val capLen =
+      if (n == 0) 0
+      else captions.agg(coalesce(max(length(col("caption"))), lit(0)))
+        .head().getInt(0)
 
     // ---- Stage 2-4: clustering rounds (round = resumable unit). ----
     val stats = scala.collection.mutable.ArrayBuffer.empty[Pipeline.PhaseStat]

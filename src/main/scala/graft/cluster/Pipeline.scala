@@ -543,10 +543,15 @@ object Pipeline {
       .repartition(col("row_id")) // align with the hot cache: verify joins both
       .persist(StorageLevel.DISK_ONLY)
     // one job: materialize the captions cache AND collect typical length +
-    // the id signature for the determinism guard
+    // the id signature + row count for the determinism guard. The count is
+    // part of the check (ADVICE r6): row-set differences with even
+    // multiplicity XOR-cancel in bit_xor, so the signature alone can pass
+    // while the two caches disagree on cardinality.
     val capRow = captions.agg(
-      coalesce(expr("bit_xor(row_id)"), lit(0L)), max(length(col("caption")))).head()
-    if (capRow.getLong(0) != idSig)
+      coalesce(expr("bit_xor(row_id)"), lit(0L)),
+      coalesce(max(length(col("caption"))), lit(0)),
+      count(lit(1))).head()
+    if (capRow.getLong(0) != idSig || capRow.getLong(2) != n)
       throw new IllegalStateException(
         "Pipeline.run: the images plan yielded different row sets across its " +
         "two scans (non-deterministic input, e.g. limit()/sample() without a " +

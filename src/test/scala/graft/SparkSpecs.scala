@@ -250,3 +250,44 @@ class ShuffleRetirementSpec extends SparkSpec {
     assert(s.collect().length == 7)
   }
 }
+
+/** Helper for the cache-split determinism-guard spec: a process-wide
+  * counter makes each evaluation of the image_id column observably
+  * distinct, modeling any non-deterministic source plan (bare limit(),
+  * sample(), rand-ordered reads) whose two scans can disagree. */
+object NonDetIds {
+  val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
+class DeterminismGuardSpec extends SparkSpec {
+
+  test("cache-split guard: non-deterministic images plan fails loudly, not silently") {
+    // VERDICT r6 "what's wrong" #1(b): Pipeline.run scans the source twice
+    // (hot features cache + DISK_ONLY captions cache). If the plan yields
+    // different row sets per execution, verify joins would silently drop
+    // rows — the guard must throw instead. Model the hazard with an
+    // explicitly non-deterministic id column: the featurize scan and the
+    // captions scan each draw fresh ids, so their bit_xor(row_id)
+    // signatures (and counts) cannot both match.
+    import org.apache.spark.sql.functions._
+    val gen = SyntheticCorpus.generate(spark, SyntheticCorpus.GenConfig(groups = 20)).cache()
+    val base = SyntheticCorpus.imagesOf(gen).localCheckpoint()
+    gen.unpersist()
+
+    val freshId = udf { () =>
+      "img-" + NonDetIds.counter.getAndIncrement()
+    }.asNondeterministic()
+    val images = base.withColumn("image_id", freshId())
+
+    val ex = intercept[IllegalStateException] {
+      Pipeline.run(spark, images, GraftConfig(seed = 7L, maxMacroRounds = 2))
+    }
+    assert(ex.getMessage.contains("different row sets"))
+
+    // sanity: the SAME corpus with stable ids runs fine (the guard keys on
+    // plan determinism, not on this suite's fixture)
+    val res = Pipeline.run(spark, base, GraftConfig(seed = 7L, maxMacroRounds = 2))
+    assert(res.assign.count() > 0)
+    res.features.unpersist(); res.captions.unpersist()
+  }
+}
