@@ -75,9 +75,12 @@ object CheckpointedPipeline {
       throw new IllegalStateException(
         s"workDir $workDir holds clustering rounds computed from feature " +
         s"partitions whose signature format/config no longer matches " +
-        s"($SigFormat, seed=${cfg.seed}, m=${cfg.m}) — delete the workDir " +
-        "(or its state/ and _ledger/round_* entries) to re-run; refusing " +
-        "to resume across a signature-format drift")
+        s"($SigFormat, seed=${cfg.seed}, m=${cfg.m}, ${shingleKey(cfg)}) — " +
+        "delete the workDir (or its state/ and _ledger/round_* entries) to " +
+        "re-run; refusing to resume across a signature-format drift. " +
+        "Note: every pre-r7 workDir lacks the 'shingle' ledger key, so " +
+        "resuming one after upgrading recomputes its feature partitions — " +
+        "a one-time migration cost (delete old round state after upgrading).")
     fTodo.foreach { p =>
       val slice = spark.read.parquet(imagesPath).where(col("part_id") === p)
       val feats = MinHash.featurize(spark, slice, cfg).toDF().drop("shingles")

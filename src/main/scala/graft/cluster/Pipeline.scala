@@ -576,6 +576,16 @@ object Pipeline {
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[PhaseStat]
     val tInit = System.nanoTime()
+    // Round-8 NEGATIVE result, kept on record (guide §1.2 — measure, don't
+    // assume): wrapping round 0 in the small-pass conf at fixture scale
+    // (AQE off + 16 static shuffle partitions) made round 0 itself faster
+    // (5.0 vs 6.4 s at the 15k-row bench corpus, PipeLab A/B) but the
+    // downstream macro pass SLOWER (9.6 vs 7.0 s) and the run +21 jobs:
+    // the state checkpoints materialize 16-partitioned instead of
+    // AQE-coalesced to ~1, and every later pass pays the wider task fan
+    // on a few-thousand-row relation. Round 0 therefore stays on the
+    // session conf; only the late macro passes flip (below), as measured
+    // in round 3.
     var (st, stat0) = initialState(spark, features, captions, cfg, n, capLen, retire)
     stats += stat0.copy(seconds = (System.nanoTime() - tInit) / 1e9)
     retire()

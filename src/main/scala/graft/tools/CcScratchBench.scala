@@ -58,17 +58,26 @@ object CcScratchBench {
       // pipeline is immune (its caches live in Result and are unpersisted
       // explicitly); a microbench is exactly where the sharp edge shows.
       .config("spark.cleaner.periodicGC.interval", "1h")
+      // this tool measures the DISTRIBUTED star loop's scratch: pin the
+      // round-8 driver union-find fast path off so small invocations still
+      // measure the loop they claim to
+      .config("spark.graft.cc.driverUnionFindMaxEdges", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // scratch sampler: bytes used on the filesystem backing the Spark
-    // local dirs (java.io.tmpdir on this sandbox), sampled by a daemon
-    // thread — same signal as the out-of-process df pollers, but
-    // self-contained and 10× finer-grained
-    val store = Files.getFileStore(Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+    // scratch sampler: bytes used on the filesystem backing Spark's
+    // ACTUAL scratch location — resolved from spark.local.dir /
+    // SPARK_LOCAL_DIRS, falling back to java.io.tmpdir (ADVICE r7: the
+    // round-7 version always sampled java.io.tmpdir, which silently
+    // measures the wrong volume when the local dirs point elsewhere).
+    // The sampled path is reported in the JSON so a reader can tell.
+    val scratchPath = spark.conf.getOption("spark.local.dir")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .map(_.split(",").head.trim)
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val store = Files.getFileStore(Paths.get(scratchPath))
     def usedBytes(): Long = store.getTotalSpace - store.getUsableSpace
     val baseline = usedBytes()
     val peak = new AtomicLong(baseline)
@@ -110,7 +119,7 @@ object CcScratchBench {
     val expected = (nodes + chainLen - 1) / chainLen
     require(nComps == expected,
       s"CC returned $nComps components, expected $expected — measurement invalid")
-    println(f"""{"metric":"cc_scratch","nodes":$nodes,"edges":$eCount,"chain_len":$chainLen,"cpus":$cpus,"components":$nComps,"sec":$sec%.2f,"baseline_gb":${baseline / 1e9}%.2f,"peak_inflight_gb":${(peak.get() - baseline) / 1e9}%.2f}""")
+    println(f"""{"metric":"cc_scratch","nodes":$nodes,"edges":$eCount,"chain_len":$chainLen,"cpus":$cpus,"components":$nComps,"sec":$sec%.2f,"baseline_gb":${baseline / 1e9}%.2f,"peak_inflight_gb":${(peak.get() - baseline) / 1e9}%.2f,"sampled_path":"$scratchPath"}""")
     spark.stop()
   }
 }

@@ -34,7 +34,17 @@ object UnionFindOracle {
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Pin the distributed star loop on (fast path off) for the body. */
+  private def withDistributedCc[A](f: => A): A = {
+    spark.conf.set("spark.graft.cc.driverUnionFindMaxEdges", "0")
+    try f finally spark.conf.unset("spark.graft.cc.driverUnionFindMaxEdges")
+  }
+
   test("CC matches union-find oracle on random graphs incl. long chains") {
+    // exercised BOTH ways (round 8): the driver union-find fast path (the
+    // session default — these graphs are under the edge cap) and the
+    // distributed star loop pinned on, must agree with the oracle AND
+    // with each other row-for-row
     val rnd = new java.util.Random(7)
     for (trial <- 0 until 3) {
       val n = 200 + trial * 100
@@ -49,18 +59,57 @@ class ConnectedComponentsSpec extends SparkSpec {
 
       val edgesDf = edges.toDF("a", "b")
       val nodesDf = nodes.toDF("row_id")
-      val got = ConnectedComponents
+      val gotFast = ConnectedComponents
         .assign(nodesDf, ConnectedComponents.components(spark, edgesDf))
         .as[(Long, Long)].collect().toMap
-      assert(got == oracle, s"trial $trial mismatch")
+      assert(gotFast == oracle, s"trial $trial mismatch (driver fast path)")
+      val gotDist = withDistributedCc {
+        ConnectedComponents
+          .assign(nodesDf, ConnectedComponents.components(spark, edgesDf))
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(gotDist == oracle, s"trial $trial mismatch (distributed loop)")
     }
+  }
+
+  test("CC driver fast path falls back to the star loop beyond the edge cap") {
+    // cap 10 < 39 chain edges -> the probe overflows and the distributed
+    // loop must still produce the oracle clustering
+    val nodes = (0 until 40).map(i => Hashing.stable(i)).distinct
+    val chain = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
+    spark.conf.set("spark.graft.cc.driverUnionFindMaxEdges", "10")
+    try {
+      val got = ConnectedComponents
+        .assign(nodes.toDF("row_id"),
+          ConnectedComponents.components(spark, chain.toDF("a", "b")))
+        .as[(Long, Long)].collect().toMap
+      assert(got == UnionFindOracle.components(nodes, chain))
+    } finally spark.conf.unset("spark.graft.cc.driverUnionFindMaxEdges")
   }
 
   test("CC retire hook fires once per star-pair materialization (round 6)") {
     // a 40-node chain needs several star-pairs to converge; the round-6
     // one-pair-per-check loop must invoke retire() after EVERY pair (the
     // in-flight-scratch halving claim), i.e. exactly `iterations` times —
-    // and at least twice on a graph this deep
+    // and at least twice on a graph this deep. Distributed loop pinned on:
+    // the round-8 driver fast path retires exactly once (after its probe),
+    // which is asserted separately below.
+    val nodes = (0 until 40).map(i => Hashing.stable(i)).distinct
+    val chain = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
+    var retires = 0
+    val got = withDistributedCc {
+      ConnectedComponents
+        .assign(nodes.toDF("row_id"),
+          ConnectedComponents.components(spark, chain.toDF("a", "b"),
+            retire = () => retires += 1))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(got == UnionFindOracle.components(nodes, chain))
+    assert(retires >= 2,
+      s"expected one retire per star-pair (>=2 on a 40-chain), got $retires")
+  }
+
+  test("CC driver fast path retires candidate shuffles once, after the probe") {
     val nodes = (0 until 40).map(i => Hashing.stable(i)).distinct
     val chain = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
     var retires = 0
@@ -70,8 +119,7 @@ class ConnectedComponentsSpec extends SparkSpec {
           retire = () => retires += 1))
       .as[(Long, Long)].collect().toMap
     assert(got == UnionFindOracle.components(nodes, chain))
-    assert(retires >= 2,
-      s"expected one retire per star-pair (>=2 on a 40-chain), got $retires")
+    assert(retires == 1, s"driver fast path should retire exactly once, got $retires")
   }
 
   private object Hashing {
