@@ -70,18 +70,19 @@ object ScalingBench {
       // 8M rows); force a driver GC every 2 min so dead shuffles are freed
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
-      // Round 8 (VERDICT r7 "next round" #2 — compress the round-0 pair
-      // checkpoints): localCheckpoint blocks are RDD blocks, and RDD blocks
-      // written/spilled to disk are compressed only when spark.rdd.compress
-      // is on (SerializerManager gates on it per BlockId type; shuffle
-      // files have their own always-on flag). The r7 32M trace attributed
-      // the 46.6 GB in-flight scratch crest to exactly these checkpoint
-      // artifacts (verified/identityEdges/state), stored UNCOMPRESSED by
-      // default. With the session codec above (zstd) this compresses every
-      // checkpoint block on disk for a small CPU cost on the scratch-bound
-      // scale runs. Env-overridable for A/B measurement.
+      // Round 8 (VERDICT r7 "next round" #2) — MEASURED AND REJECTED as a
+      // default: a 32M r0Batches=16 single-variable A/B (BENCH.md round 8)
+      // showed spark.rdd.compress=true shrinks the round-0 scratch crest
+      // only 55.2 → 52.5 GB (−5%) while costing +4% wall (zstd on every
+      // checkpoint block) — because the crest is dominated by CC/distinct
+      // SHUFFLE files, which are already codec-compressed, not by RDD
+      // checkpoint blocks (profiler: disk-spill 0.00 GB both legs). The
+      // r7 "pair checkpoints own the crest" attribution is hereby revised;
+      // the effective lever is removing the redundant exchange at the
+      // crest (ConnectedComponents.inputNormalized). Knob kept for
+      // environments whose checkpoints DO spill uncompressed.
       .config("spark.rdd.compress",
-        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

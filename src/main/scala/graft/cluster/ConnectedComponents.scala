@@ -132,19 +132,37 @@ object ConnectedComponents {
     * Contract: safe because `cur`/`mid`/`next` are localCheckpoint'ed
     * (lineage truncated at materialization) and the input `edges` must be
     * checkpoint-backed or keep-set-backed, which every retiring caller
-    * guarantees (see ShuffleRetirement's safety contract). */
+    * guarantees (see ShuffleRetirement's safety contract).
+    *
+    * `inputNormalized` (round 8, guide §2.4 — remove shuffles outright):
+    * a caller that ALREADY provides (a < b)-normalized, distinct,
+    * self-loop-free edges may set it to skip the normalize+distinct
+    * prologue — at 32M rows that prologue is a full exchange of ~108M
+    * verified-pair rows plus a ~GBs localCheckpoint materialization at
+    * the exact moment the run's scratch disk peaks (the round-0 crest,
+    * BENCH.md round 8). When set, `edges` is used as iteration state
+    * directly and is NEVER unpersisted here (the caller owns it). The
+    * flag is a pure optimization even on contract breach: the star steps
+    * filter self-loops and re-distinct internally, so a non-normalized
+    * input converges to the same labels, just without the saved shuffle
+    * (spec-pinned). */
   def components(spark: SparkSession, edges: DataFrame, maxIter: Int = 100,
-                 retire: () => Unit = () => ()): DataFrame = {
+                 retire: () => Unit = () => (),
+                 inputNormalized: Boolean = false): DataFrame = {
     // LAZY localCheckpoint: truncates the LOGICAL plan immediately (the
     // star steps union branches, so an un-truncated plan tree grows
     // exponentially with iterations) while the signature aggregation
     // doubles as the single materializing job per iteration — an eager
     // checkpoint would cost a second job.
-    var cur = edges
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(false)
+    var cur =
+      if (inputNormalized) edges
+      else edges
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(false)
+    // the caller owns an inputNormalized relation — never unpersist it
+    var curOwned = !inputNormalized
 
     val cap = driverCap(spark)
     if (cap > 0 && cap <= Int.MaxValue - 1) {
@@ -160,7 +178,7 @@ object ConnectedComponents {
         // planner, and a no-op for Checkpoints.unpersistCheckpoint (no
         // LogicalRDD leaf) — callers' free-the-result contract still holds
         val out = assignPairs.toSeq.toDF("row_id", "cluster_id")
-        graft.util.Checkpoints.unpersistCheckpoint(cur)
+        if (curOwned) graft.util.Checkpoints.unpersistCheckpoint(cur)
         return out
       }
       // fall through: > cap distinct edges — distributed star loop below
@@ -180,10 +198,11 @@ object ConnectedComponents {
       // bounded retention: superseded iteration state is freed immediately —
       // driver-GC-only release accumulated ~50 GB on long runs (round-1
       // scale blocker at 8–16M rows)
-      graft.util.Checkpoints.unpersistCheckpoint(cur)
+      if (curOwned) graft.util.Checkpoints.unpersistCheckpoint(cur)
       retire()
       converged = nextSig == curSig
       cur = next
+      curOwned = true
       curSig = nextSig
       iter += 1
     }
@@ -197,7 +216,7 @@ object ConnectedComponents {
       .unionAll(cur.select(col("b").as("row_id"), col("b").as("cluster_id")))
       .distinct()
       .localCheckpoint()
-    graft.util.Checkpoints.unpersistCheckpoint(cur)
+    if (curOwned) graft.util.Checkpoints.unpersistCheckpoint(cur)
     out
   }
 

